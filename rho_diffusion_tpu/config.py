@@ -1,0 +1,116 @@
+"""JSON experiment configuration.
+
+Keeps the exact JSON schema of the reference framework
+(/root/reference/rho_diffusion/config.py:36-110) so that the shipped example
+configs (examples/config_spherical_harmonics.json, config_deep_galaxy.json)
+load unchanged apart from the device string. Implemented with pydantic v2.
+
+Schema:
+    {
+      "experiment": str,
+      "model":          {"name": str, "kwargs": {...}},
+      "dataset":        {"name": str, "kwargs": {...}},
+      "optimizer":      {"name": str, "kwargs": {...}},
+      "lr_scheduler":   {"name": str, "kwargs": {...}},   (optional)
+      "noise_schedule": {"name": str, "kwargs": {...}},
+      "training":  {...},
+      "inference": {...}
+    }
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional, Union
+
+from pydantic import BaseModel, ConfigDict, field_validator
+
+from rho_diffusion_tpu.utils import number_cast_dict
+
+
+class ComponentConfig(BaseModel):
+    """A named component plus its constructor kwargs, resolved via the
+    registry (reference: config.py:36-48)."""
+
+    model_config = ConfigDict(extra="ignore", protected_namespaces=())
+
+    name: str
+    kwargs: dict[str, Any] = {}
+
+    @field_validator("kwargs", mode="before")
+    @classmethod
+    def _cast_numeric_strings(cls, v: dict) -> dict:
+        # The reference coerces numeric strings like "1e-4" -> float
+        # (config.py validator + utils.number_cast_dict).
+        return number_cast_dict(v or {})
+
+
+class TrainingConfig(BaseModel):
+    """Training hyperparameters (reference: config.py:51-64).
+
+    ``benchmark_mode`` existed in the reference example configs but was never
+    read by any code; here it actually enables throughput logging.
+    """
+
+    model_config = ConfigDict(extra="ignore")
+
+    device: str = "tpu"
+    np: int = 1
+    loss_fn: str = "MSELoss"
+    ema_decay: float = 0.0
+    batch_size: int = 16
+    seed: int = 0
+    min_epochs: int = 1
+    max_epochs: int = 1
+    save_checkpoint_every_n_epochs: int = 0
+    sample_every_n_epochs: int = 0
+    benchmark_mode: bool = False
+    # TPU-native additions (absent in the reference):
+    dtype: str = "bfloat16"  # compute dtype under jit; params stay float32
+    checkpoint_dir: Optional[str] = None
+    log_every_n_steps: int = 50
+
+
+class InferenceConfig(BaseModel):
+    """Sampling-time configuration (reference: config.py:67-77)."""
+
+    model_config = ConfigDict(extra="ignore")
+
+    device: str = "tpu"
+    checkpoint: Optional[str] = None
+    parameter_space: Optional[dict[str, list]] = None
+    cache_file: Optional[str] = None
+    plot_output_file: Optional[str] = None
+    seed: int = 0
+    # TPU-native additions:
+    num_samples: int = 16
+    sampler: str = "ddpm"  # "ddpm" | "ddim"
+    ddim_steps: int = 0  # 0 -> full T
+    use_ema: bool = True
+
+
+class ExperimentConfig(BaseModel):
+    """Top-level experiment config (reference: config.py:80-110)."""
+
+    model_config = ConfigDict(extra="ignore", protected_namespaces=())
+
+    experiment: str
+    model: ComponentConfig
+    dataset: ComponentConfig
+    optimizer: ComponentConfig
+    lr_scheduler: Optional[ComponentConfig] = None
+    noise_schedule: ComponentConfig
+    training: TrainingConfig = TrainingConfig()
+    inference: InferenceConfig = InferenceConfig()
+
+    @classmethod
+    def from_json(cls, path: Union[str, Path]) -> "ExperimentConfig":
+        """Load and validate an experiment config from a JSON file
+        (reference API: config.py:97-110)."""
+        with open(path) as f:
+            payload = json.load(f)
+        return cls.model_validate(payload)
+
+    def to_json(self, path: Union[str, Path]) -> None:
+        with open(path, "w") as f:
+            json.dump(self.model_dump(), f, indent=2, default=str)

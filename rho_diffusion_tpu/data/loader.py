@@ -1,0 +1,176 @@
+"""Host-side data loading: batching, shuffling, threaded prefetch, and
+device placement with mesh sharding.
+
+Replaces the reference's torch DataLoader + DistributedSampler
+(/root/reference/scripts/training_ddp.py:136-143): per-host index sharding
+is computed from ``jax.process_index()`` (no sampler object), batches are
+assembled by a thread pool (scipy/h5py work releases the GIL), and
+``prefetch_to_device`` keeps N batches in flight so the TPU never waits on
+the host.
+"""
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def default_collate(samples: list) -> dict:
+    """Stack (data, label) tuples into {'data': [B, ...], 'labels': [B, ...]}"""
+    first = samples[0]
+    if isinstance(first, (tuple, list)):
+        data = np.stack([np.asarray(s[0]) for s in samples])
+        labels = None
+        if len(first) > 1 and first[1] is not None:
+            labels = np.stack([np.asarray(s[1]) for s in samples])
+        return {"data": data, "labels": labels}
+    return {"data": np.stack([np.asarray(s) for s in samples]), "labels": None}
+
+
+class DataLoader:
+    """Map-style dataset -> iterator of numpy batches.
+
+    * ``shuffle`` uses a per-epoch seeded permutation (epoch folded into the
+      seed so resume is deterministic);
+    * in multi-process (multi-host) runs each process loads only its
+      1/num_processes slice of every global batch — ``batch_size`` is the
+      GLOBAL batch size;
+    * ``num_workers`` threads build samples concurrently.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        collate_fn: Callable = default_collate,
+        process_index: Optional[int] = None,
+        num_processes: Optional[int] = None,
+    ) -> None:
+        self.dataset = dataset
+        self.global_batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.collate_fn = collate_fn
+        self.process_index = (
+            process_index if process_index is not None else jax.process_index()
+        )
+        self.num_processes = (
+            num_processes if num_processes is not None else jax.process_count()
+        )
+        assert batch_size % self.num_processes == 0, (
+            f"global batch size {batch_size} must divide across "
+            f"{self.num_processes} processes"
+        )
+        self.local_batch_size = batch_size // self.num_processes
+        self.epoch = 0
+        self._pool = (
+            ThreadPoolExecutor(max_workers=num_workers) if num_workers > 0 else None
+        )
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.global_batch_size
+        if not self.drop_last and len(self.dataset) % self.global_batch_size:
+            n += 1
+        return n
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, self.epoch]),
+            )
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _build_batch(self, idx: np.ndarray) -> dict:
+        if self._pool is not None:
+            samples = list(self._pool.map(self.dataset.__getitem__, idx))
+        else:
+            samples = [self.dataset[i] for i in idx]
+        return self.collate_fn(samples)
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = self._epoch_indices()
+        gbs = self.global_batch_size
+        n_batches = len(self)
+        for b in range(n_batches):
+            chunk = indices[b * gbs : (b + 1) * gbs]
+            if len(chunk) < gbs:
+                if self.drop_last:
+                    break
+                # pad by wrapping so shapes stay static for jit
+                chunk = np.concatenate([chunk, indices[: gbs - len(chunk)]])
+            # this host's slice of the global batch
+            local = np.array_split(chunk, self.num_processes)[self.process_index]
+            yield self._build_batch(local)
+        self.epoch += 1
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Run ``iterator`` in a background thread, keeping ``size`` items ready."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: list = []
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def prefetch_to_device(
+    iterator: Iterator[dict],
+    sharding: Optional[Any] = None,
+    size: int = 2,
+) -> Iterator[dict]:
+    """Move numpy batches onto device(s) ahead of consumption.
+
+    ``sharding`` is a ``jax.sharding.Sharding`` for the batch (typically
+    NamedSharding(mesh, P("data", ...))); when None, default placement."""
+    buf = collections.deque()
+
+    def put(batch: dict) -> dict:
+        out = {}
+        for k, v in batch.items():
+            if v is None:
+                out[k] = None
+            elif sharding is not None:
+                out[k] = jax.device_put(v, sharding)
+            else:
+                out[k] = jax.device_put(v)
+        return out
+
+    for batch in iterator:
+        buf.append(put(batch))
+        while len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -1,0 +1,22 @@
+from rho_diffusion_tpu.diffusion.base import AbstractDiffusionPipeline, extract  # noqa: F401
+from rho_diffusion_tpu.diffusion.ddpm import DDPM, ddpm_reverse_step, q_sample  # noqa: F401
+from rho_diffusion_tpu.diffusion.gaussian import (  # noqa: F401
+    GaussianCoefficients,
+    GaussianDiffusionPipeline,
+    LossType,
+    ModelMeanType,
+    ModelVarType,
+    calc_bpd_loop,
+    coefficients_from_schedule,
+    dynamic_threshold,
+    respace,
+    sample_loop,
+    training_losses,
+)
+from rho_diffusion_tpu.diffusion.schedule import (  # noqa: F401
+    CosineBetaSchedule,
+    LinearSchedule,
+    NoiseSchedule,
+    SigmoidSchedule,
+    named_beta_schedule,
+)

@@ -1,0 +1,715 @@
+"""Full-featured Gaussian diffusion (the reference's "GaussianDiffusionPipeline",
+an OpenAI guided-diffusion lineage port —
+/root/reference/rho_diffusion/diffusion/gaussian_diffusion.py:143-1228).
+
+Capability parity, re-designed functionally for TPU:
+
+* ModelMeanType {PREVIOUS_X, START_X, EPSILON}, ModelVarType {LEARNED,
+  FIXED_SMALL, FIXED_LARGE, LEARNED_RANGE}, LossType {MSE, RESCALED_MSE, KL,
+  RESCALED_KL} (reference gaussian_diffusion.py:107-140);
+* q/posterior math, p_mean_variance with dynamic thresholding at the 0.9
+  abs-quantile (reference :338-443);
+* classifier guidance via condition_mean (Sohl-Dickstein) and condition_score
+  (Song) (reference :473-510);
+* ancestral p_sample and DDIM sampling with eta (reference :512-824), both as
+  single ``lax.scan`` loops fully on device, plus DDIM respacing (an index
+  table selecting a sub-sequence of timesteps — the fast-sampler capability
+  the reference names but never wires);
+* VLB terms, learned-variance training with frozen-mean vb term, and
+  bits-per-dim evaluation (reference :826-1009), the T-loop as ``lax.scan``.
+
+Conscious fixes over the reference (SURVEY.md "hard parts" #3):
+* the injected config schedule IS honoured — coefficients derive from the
+  schedule's betas instead of a hard-coded cosine rebuild (reference bug at
+  :236-274);
+* training noises x_0 exactly once (the reference double-noised: its
+  training_step q_sampled the already-noised tensor again, :1186-1200);
+* batch size is derived before use in all condition branches (reference
+  use-before-assign at :1054-1062).
+
+All arrays are channels-LAST; learned-variance models emit 2*C channels that
+split on the last axis.
+"""
+from __future__ import annotations
+
+import enum
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from rho_diffusion_tpu.diffusion.base import AbstractDiffusionPipeline, extract, normalize_batch
+from rho_diffusion_tpu.diffusion.schedule import NoiseSchedule, named_beta_schedule
+from rho_diffusion_tpu.metrics.losses import (
+    discretized_gaussian_log_likelihood,
+    normal_kl,
+)
+from rho_diffusion_tpu.ops.convolution import mean_flat
+
+
+class ModelMeanType(enum.Enum):
+    PREVIOUS_X = "previous_x"
+    START_X = "start_x"
+    EPSILON = "epsilon"
+
+
+class ModelVarType(enum.Enum):
+    LEARNED = "learned"
+    FIXED_SMALL = "fixed_small"
+    FIXED_LARGE = "fixed_large"
+    LEARNED_RANGE = "learned_range"
+
+
+class LossType(enum.Enum):
+    MSE = "mse"
+    RESCALED_MSE = "rescaled_mse"
+    KL = "kl"
+    RESCALED_KL = "rescaled_kl"
+
+    def is_vb(self) -> bool:
+        return self in (LossType.KL, LossType.RESCALED_KL)
+
+
+@struct.dataclass
+class GaussianCoefficients:
+    """All precomputed q/posterior tables, float32, shape [T].
+    Construction happens in float64 on the host (reference :236-274)."""
+
+    betas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    alphas_cumprod_prev: jnp.ndarray
+    alphas_cumprod_next: jnp.ndarray
+    sqrt_alphas_cumprod: jnp.ndarray
+    sqrt_one_minus_alphas_cumprod: jnp.ndarray
+    log_one_minus_alphas_cumprod: jnp.ndarray
+    sqrt_recip_alphas_cumprod: jnp.ndarray
+    sqrt_recipm1_alphas_cumprod: jnp.ndarray
+    posterior_variance: jnp.ndarray
+    posterior_log_variance_clipped: jnp.ndarray
+    posterior_mean_coef1: jnp.ndarray
+    posterior_mean_coef2: jnp.ndarray
+    fixed_large_variance: jnp.ndarray
+    fixed_large_log_variance: jnp.ndarray
+    # original-process timestep each (possibly respaced) index maps to
+    timestep_map: jnp.ndarray
+
+    @property
+    def num_timesteps(self) -> int:
+        return int(self.betas.shape[0])
+
+
+def coefficients_from_betas(
+    betas: np.ndarray, timestep_map: Optional[np.ndarray] = None,
+) -> GaussianCoefficients:
+    betas = np.asarray(betas, dtype=np.float64)
+    (T,) = betas.shape
+    alphas = 1.0 - betas
+    acp = np.cumprod(alphas)
+    acp_prev = np.append(1.0, acp[:-1])
+    acp_next = np.append(acp[1:], 0.0)
+    posterior_variance = betas * (1.0 - acp_prev) / (1.0 - acp)
+    # log-variance clipped at t=0 because posterior variance is 0 there
+    posterior_log_variance_clipped = np.log(
+        np.append(posterior_variance[1], posterior_variance[1:]),
+    )
+    fixed_large = np.append(posterior_variance[1], betas[1:])
+    if timestep_map is None:
+        timestep_map = np.arange(T)
+    f32 = lambda a: jnp.asarray(np.asarray(a).astype(np.float32))
+    return GaussianCoefficients(
+        betas=f32(betas),
+        alphas_cumprod=f32(acp),
+        alphas_cumprod_prev=f32(acp_prev),
+        alphas_cumprod_next=f32(acp_next),
+        sqrt_alphas_cumprod=f32(np.sqrt(acp)),
+        sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - acp)),
+        log_one_minus_alphas_cumprod=f32(np.log(1.0 - acp)),
+        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / acp)),
+        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / acp - 1.0)),
+        posterior_variance=f32(posterior_variance),
+        posterior_log_variance_clipped=f32(posterior_log_variance_clipped),
+        posterior_mean_coef1=f32(betas * np.sqrt(acp_prev) / (1.0 - acp)),
+        posterior_mean_coef2=f32((1.0 - acp_prev) * np.sqrt(alphas) / (1.0 - acp)),
+        fixed_large_variance=f32(fixed_large),
+        fixed_large_log_variance=f32(np.log(fixed_large)),
+        timestep_map=jnp.asarray(np.asarray(timestep_map, dtype=np.int32)),
+    )
+
+
+def coefficients_from_schedule(schedule: NoiseSchedule) -> GaussianCoefficients:
+    """Honour the config-injected schedule (fixes reference :236)."""
+    return coefficients_from_betas(np.asarray(schedule.beta_t, dtype=np.float64))
+
+
+def space_timesteps(num_timesteps: int, num_respaced: int) -> np.ndarray:
+    """Evenly-spaced sub-sequence of original timesteps for fast (DDIM)
+    sampling — guided-diffusion style striding."""
+    if num_respaced >= num_timesteps:
+        return np.arange(num_timesteps)
+    frac = num_timesteps / num_respaced
+    return np.round(np.arange(num_respaced) * frac).astype(np.int64)
+
+
+def respace(coeffs: GaussianCoefficients, num_respaced: int) -> GaussianCoefficients:
+    """Build new coefficients over a strided timestep subset: new
+    beta_i = 1 - abar(t_i)/abar(t_{i-1}). The returned ``timestep_map``
+    converts respaced indices back to original model timesteps."""
+    acp = np.asarray(coeffs.alphas_cumprod, dtype=np.float64)
+    use = space_timesteps(coeffs.num_timesteps, num_respaced)
+    last_acp = 1.0
+    new_betas = []
+    for t in use:
+        new_betas.append(1.0 - acp[t] / last_acp)
+        last_acp = acp[t]
+    return coefficients_from_betas(np.asarray(new_betas), timestep_map=use)
+
+
+# ---------------------------------------------------------------------------
+# Pure math (reference :277-510)
+# ---------------------------------------------------------------------------
+
+def q_mean_variance(c: GaussianCoefficients, x_start, t):
+    mean = extract(c.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
+    variance = extract(1.0 - c.alphas_cumprod, t, x_start.ndim)
+    log_variance = extract(c.log_one_minus_alphas_cumprod, t, x_start.ndim)
+    return mean, variance, log_variance
+
+
+def q_sample(c: GaussianCoefficients, x_start, t, noise):
+    return (
+        extract(c.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
+        + extract(c.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * noise
+    )
+
+
+def q_posterior_mean_variance(c: GaussianCoefficients, x_start, x_t, t):
+    mean = (
+        extract(c.posterior_mean_coef1, t, x_t.ndim) * x_start
+        + extract(c.posterior_mean_coef2, t, x_t.ndim) * x_t
+    )
+    variance = extract(c.posterior_variance, t, x_t.ndim)
+    log_variance = extract(c.posterior_log_variance_clipped, t, x_t.ndim)
+    return mean, variance, log_variance
+
+
+def predict_xstart_from_eps(c: GaussianCoefficients, x_t, t, eps):
+    return (
+        extract(c.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t
+        - extract(c.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * eps
+    )
+
+
+def predict_xstart_from_xprev(c: GaussianCoefficients, x_t, t, xprev):
+    coef1 = extract(c.posterior_mean_coef1, t, x_t.ndim)
+    coef2 = extract(c.posterior_mean_coef2, t, x_t.ndim)
+    return xprev / coef1 - (coef2 / coef1) * x_t
+
+
+def predict_eps_from_xstart(c: GaussianCoefficients, x_t, t, pred_xstart):
+    return (
+        extract(c.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t - pred_xstart
+    ) / extract(c.sqrt_recipm1_alphas_cumprod, t, x_t.ndim)
+
+
+def dynamic_threshold(x: jnp.ndarray, percentile: float = 0.9) -> jnp.ndarray:
+    """Imagen-style dynamic thresholding (reference :400-415): clamp each
+    sample to +/- its ``percentile`` abs-quantile s (>= 1) and rescale by s."""
+    flat = jnp.abs(x.reshape(x.shape[0], -1))
+    s = jnp.quantile(flat, percentile, axis=-1)
+    s = jnp.maximum(s, 1.0)
+    s = s.reshape(s.shape[0], *((1,) * (x.ndim - 1)))
+    return jnp.clip(x, -s, s) / s
+
+
+def p_mean_variance(
+    c: GaussianCoefficients,
+    model_fn: Callable,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    mean_type: ModelMeanType,
+    var_type: ModelVarType,
+    clip_denoised: bool = True,
+    denoised_fn: Optional[Callable] = None,
+    thresholding_percentile: float = 0.9,
+) -> dict:
+    """p(x_{t-1} | x_t) mean/variance + x0 prediction (reference :338-443).
+
+    ``model_fn(x, t_scaled)`` must already close over conditioning; ``t`` is
+    in respaced index space and is mapped to original model timesteps here.
+    """
+    model_output = model_fn(x, c.timestep_map[t])
+
+    C = x.shape[-1]
+    if var_type in (ModelVarType.LEARNED, ModelVarType.LEARNED_RANGE):
+        assert model_output.shape[-1] == 2 * C
+        model_output, model_var_values = jnp.split(model_output, 2, axis=-1)
+        if var_type == ModelVarType.LEARNED:
+            model_log_variance = model_var_values
+            model_variance = jnp.exp(model_log_variance)
+        else:
+            min_log = extract(c.posterior_log_variance_clipped, t, x.ndim)
+            max_log = extract(jnp.log(c.betas), t, x.ndim)
+            frac = (model_var_values + 1.0) / 2.0
+            model_log_variance = frac * max_log + (1.0 - frac) * min_log
+            model_variance = jnp.exp(model_log_variance)
+    elif var_type == ModelVarType.FIXED_LARGE:
+        model_variance = extract(c.fixed_large_variance, t, x.ndim)
+        model_log_variance = extract(c.fixed_large_log_variance, t, x.ndim)
+    elif var_type == ModelVarType.FIXED_SMALL:
+        model_variance = extract(c.posterior_variance, t, x.ndim)
+        model_log_variance = extract(c.posterior_log_variance_clipped, t, x.ndim)
+    else:
+        raise NotImplementedError(var_type)
+
+    def process_xstart(xs):
+        if denoised_fn is not None:
+            xs = denoised_fn(xs)
+        if clip_denoised:
+            xs = dynamic_threshold(xs, thresholding_percentile)
+        return xs
+
+    if mean_type == ModelMeanType.PREVIOUS_X:
+        pred_xstart = process_xstart(
+            predict_xstart_from_xprev(c, x, t, model_output),
+        )
+        model_mean = model_output
+    else:
+        if mean_type == ModelMeanType.START_X:
+            pred_xstart = process_xstart(model_output)
+        else:  # EPSILON
+            pred_xstart = process_xstart(
+                predict_xstart_from_eps(c, x, t, model_output),
+            )
+        model_mean, _, _ = q_posterior_mean_variance(c, pred_xstart, x, t)
+
+    return {
+        "mean": model_mean,
+        "variance": model_variance,
+        "log_variance": model_log_variance,
+        "pred_xstart": pred_xstart,
+    }
+
+
+def condition_mean(c, grad_fn, out, x, t):
+    """Sohl-Dickstein conditioning: mean += variance * grad(log p(y|x))
+    (reference :473-487)."""
+    gradient = grad_fn(x, c.timestep_map[t])
+    return out["mean"] + out["variance"] * gradient
+
+
+def condition_score(c, grad_fn, out, x, t):
+    """Song et al. score conditioning (reference :489-510)."""
+    alpha_bar = extract(c.alphas_cumprod, t, x.ndim)
+    eps = predict_eps_from_xstart(c, x, t, out["pred_xstart"])
+    eps = eps - jnp.sqrt(1.0 - alpha_bar) * grad_fn(x, c.timestep_map[t])
+    pred_xstart = predict_xstart_from_eps(c, x, t, eps)
+    mean, _, _ = q_posterior_mean_variance(c, pred_xstart, x, t)
+    return {**out, "pred_xstart": pred_xstart, "mean": mean}
+
+
+def p_sample_step(
+    c, model_fn, x, t, rng, mean_type, var_type,
+    clip_denoised=True, cond_grad_fn=None, **kw,
+):
+    """One ancestral step (reference p_sample :512-556)."""
+    out = p_mean_variance(
+        c, model_fn, x, t, mean_type, var_type, clip_denoised=clip_denoised, **kw,
+    )
+    if cond_grad_fn is not None:
+        out["mean"] = condition_mean(c, cond_grad_fn, out, x, t)
+    noise = jax.random.normal(rng, x.shape, x.dtype)
+    nonzero = (t != 0).astype(x.dtype).reshape(-1, *((1,) * (x.ndim - 1)))
+    sample = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * noise
+    return sample, out["pred_xstart"]
+
+
+def ddim_sample_step(
+    c, model_fn, x, t, rng, mean_type, var_type,
+    clip_denoised=True, cond_grad_fn=None, eta=0.0, **kw,
+):
+    """One DDIM step, eq. 12 (reference :654-702)."""
+    out = p_mean_variance(
+        c, model_fn, x, t, mean_type, var_type, clip_denoised=clip_denoised, **kw,
+    )
+    if cond_grad_fn is not None:
+        out = condition_score(c, cond_grad_fn, out, x, t)
+    eps = predict_eps_from_xstart(c, x, t, out["pred_xstart"])
+    alpha_bar = extract(c.alphas_cumprod, t, x.ndim)
+    alpha_bar_prev = extract(c.alphas_cumprod_prev, t, x.ndim)
+    sigma = (
+        eta
+        * jnp.sqrt((1.0 - alpha_bar_prev) / (1.0 - alpha_bar))
+        * jnp.sqrt(1.0 - alpha_bar / alpha_bar_prev)
+    )
+    noise = jax.random.normal(rng, x.shape, x.dtype)
+    mean_pred = (
+        out["pred_xstart"] * jnp.sqrt(alpha_bar_prev)
+        + jnp.sqrt(jnp.maximum(1.0 - alpha_bar_prev - sigma**2, 0.0)) * eps
+    )
+    nonzero = (t != 0).astype(x.dtype).reshape(-1, *((1,) * (x.ndim - 1)))
+    sample = mean_pred + nonzero * sigma * noise
+    return sample, out["pred_xstart"]
+
+
+def ddim_reverse_step(c, model_fn, x, t, mean_type, var_type, clip_denoised=True, **kw):
+    """Deterministic DDIM reverse-ODE step x_t -> x_{t+1} (reference :704-760),
+    used for encoding data into latents."""
+    out = p_mean_variance(
+        c, model_fn, x, t, mean_type, var_type, clip_denoised=clip_denoised, **kw,
+    )
+    eps = (
+        extract(c.sqrt_recip_alphas_cumprod, t, x.ndim) * x - out["pred_xstart"]
+    ) / extract(c.sqrt_recipm1_alphas_cumprod, t, x.ndim)
+    alpha_bar_next = extract(c.alphas_cumprod_next, t, x.ndim)
+    sample = (
+        out["pred_xstart"] * jnp.sqrt(alpha_bar_next)
+        + jnp.sqrt(1.0 - alpha_bar_next) * eps
+    )
+    return sample, out["pred_xstart"]
+
+
+def sample_loop(
+    c: GaussianCoefficients,
+    model_fn: Callable,
+    shape: tuple,
+    rng: jax.Array,
+    mean_type: ModelMeanType,
+    var_type: ModelVarType,
+    sampler: str = "ddpm",
+    eta: float = 0.0,
+    clip_denoised: bool = True,
+    cond_grad_fn: Optional[Callable] = None,
+    x_T: Optional[jnp.ndarray] = None,
+    progressive: bool = False,
+):
+    """Full sampling loop as one ``lax.scan`` over t = T-1..0 (replaces the
+    reference's Python loops :558-652/762-824). ``progressive=True`` also
+    returns every intermediate x_t (reference *_progressive variants)."""
+    init_rng, scan_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape) if x_T is None else x_T
+    step = p_sample_step if sampler == "ddpm" else ddim_sample_step
+    kw = {"eta": eta} if sampler == "ddim" else {}
+
+    def body(carry, t):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        tt = jnp.full((shape[0],), t, jnp.int32)
+        x, pred_x0 = step(
+            c, model_fn, x, tt, sub, mean_type, var_type,
+            clip_denoised=clip_denoised, cond_grad_fn=cond_grad_fn, **kw,
+        )
+        return (x, key), (x if progressive else None)
+
+    steps = jnp.arange(c.num_timesteps - 1, -1, -1)
+    (x, _), frames = jax.lax.scan(body, (x, scan_rng), steps)
+    return (x, frames) if progressive else x
+
+
+# ---------------------------------------------------------------------------
+# VLB / training losses (reference :826-1009)
+# ---------------------------------------------------------------------------
+
+def vb_terms_bpd(
+    c, model_fn, x_start, x_t, t, mean_type, var_type, clip_denoised=False,
+):
+    """KL(q(x_{t-1}|x_t,x_0) || p(x_{t-1}|x_t)) in bits, with the t=0 term
+    the discretised decoder NLL (reference _vb_terms_bpd :826-859)."""
+    true_mean, _, true_log_var = q_posterior_mean_variance(c, x_start, x_t, t)
+    out = p_mean_variance(
+        c, model_fn, x_t, t, mean_type, var_type, clip_denoised=clip_denoised,
+    )
+    kl = normal_kl(true_mean, true_log_var, out["mean"], out["log_variance"])
+    kl = mean_flat(kl) / jnp.log(2.0)
+    decoder_nll = -discretized_gaussian_log_likelihood(
+        x_start, out["mean"], 0.5 * out["log_variance"],
+    )
+    decoder_nll = mean_flat(decoder_nll) / jnp.log(2.0)
+    output = jnp.where(t == 0, decoder_nll, kl)
+    return {"output": output, "pred_xstart": out["pred_xstart"]}
+
+
+def training_losses(
+    c: GaussianCoefficients,
+    model_fn: Callable,
+    x_start: jnp.ndarray,
+    t: jnp.ndarray,
+    noise: jnp.ndarray,
+    mean_type: ModelMeanType,
+    var_type: ModelVarType,
+    loss_type: LossType,
+) -> dict:
+    """Per-sample training losses (reference :861-934). Noise is supplied by
+    the caller — exactly once (fixes the reference's double-noising)."""
+    x_t = q_sample(c, x_start, t, noise)
+    terms: dict[str, jnp.ndarray] = {}
+
+    if loss_type.is_vb():
+        terms["loss"] = vb_terms_bpd(
+            c, model_fn, x_start, x_t, t, mean_type, var_type,
+        )["output"]
+        if loss_type == LossType.RESCALED_KL:
+            terms["loss"] = terms["loss"] * c.num_timesteps
+        return terms
+
+    model_output = model_fn(x_t, c.timestep_map[t])
+    if var_type in (ModelVarType.LEARNED, ModelVarType.LEARNED_RANGE):
+        C = x_t.shape[-1]
+        assert model_output.shape[-1] == 2 * C
+        mean_out, var_values = jnp.split(model_output, 2, axis=-1)
+        # learn variance via the VLB without letting it move the mean
+        frozen = jnp.concatenate(
+            [jax.lax.stop_gradient(mean_out), var_values], axis=-1,
+        )
+        terms["vb"] = vb_terms_bpd(
+            c, lambda *_args: frozen, x_start, x_t, t, mean_type, var_type,
+        )["output"]
+        if loss_type == LossType.RESCALED_MSE:
+            terms["vb"] = terms["vb"] * (c.num_timesteps / 1000.0)
+        model_output = mean_out
+
+    if mean_type == ModelMeanType.PREVIOUS_X:
+        target = q_posterior_mean_variance(c, x_start, x_t, t)[0]
+    elif mean_type == ModelMeanType.START_X:
+        target = x_start
+    else:
+        target = noise
+    terms["mse"] = mean_flat((target - model_output) ** 2)
+    terms["loss"] = terms["mse"] + terms["vb"] if "vb" in terms else terms["mse"]
+    terms["x_t"] = x_t
+    return terms
+
+
+def prior_bpd(c: GaussianCoefficients, x_start: jnp.ndarray) -> jnp.ndarray:
+    """KL(q(x_T|x_0) || N(0, I)) in bits/dim (reference :936-953)."""
+    t = jnp.full((x_start.shape[0],), c.num_timesteps - 1, jnp.int32)
+    qt_mean, _, qt_log_var = q_mean_variance(c, x_start, t)
+    kl = normal_kl(qt_mean, qt_log_var, 0.0, 0.0)
+    return mean_flat(kl) / jnp.log(2.0)
+
+
+def calc_bpd_loop(
+    c: GaussianCoefficients,
+    model_fn: Callable,
+    x_start: jnp.ndarray,
+    rng: jax.Array,
+    mean_type: ModelMeanType,
+    var_type: ModelVarType,
+    clip_denoised: bool = True,
+) -> dict:
+    """Full VLB in bits/dim, T-loop as ``lax.scan`` (reference :955-1009)."""
+    B = x_start.shape[0]
+
+    def body(key, t):
+        key, sub = jax.random.split(key)
+        tt = jnp.full((B,), t, jnp.int32)
+        noise = jax.random.normal(sub, x_start.shape, x_start.dtype)
+        x_t = q_sample(c, x_start, tt, noise)
+        out = vb_terms_bpd(
+            c, model_fn, x_start, x_t, tt, mean_type, var_type,
+            clip_denoised=clip_denoised,
+        )
+        eps = predict_eps_from_xstart(c, x_t, tt, out["pred_xstart"])
+        return key, (
+            out["output"],
+            mean_flat((out["pred_xstart"] - x_start) ** 2),
+            mean_flat((eps - noise) ** 2),
+        )
+
+    steps = jnp.arange(c.num_timesteps - 1, -1, -1)
+    _, (vb, xstart_mse, mse) = jax.lax.scan(body, rng, steps)
+    vb = vb.T  # [N, T]
+    pb = prior_bpd(c, x_start)
+    return {
+        "total_bpd": vb.sum(axis=1) + pb,
+        "prior_bpd": pb,
+        "vb": vb,
+        "xstart_mse": xstart_mse.T,
+        "mse": mse.T,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
+    """Config-driven pipeline wrapping the functional core
+    (reference class at gaussian_diffusion.py:143)."""
+
+    def __init__(
+        self,
+        backbone,
+        backbone_kwargs: dict[str, Any],
+        schedule: Optional[NoiseSchedule] = None,
+        loss_func="MSELoss",  # accepted for API parity; LossType governs
+        timesteps: Optional[int] = None,
+        cond_fn=None,
+        cond_fn_kwargs: Optional[dict] = None,
+        optimizer=None,
+        opt_kwargs: Optional[dict] = None,
+        model_mean_type: ModelMeanType | str = ModelMeanType.START_X,
+        model_var_type: ModelVarType | str = ModelVarType.FIXED_LARGE,
+        loss_type: LossType | str = LossType.MSE,
+        beta_schedule_name: Optional[str] = None,
+        clip_denoised: bool = True,
+        thresholding_percentile: float = 0.9,
+        sampling_batch_size: int = 10,
+        sample_every_n_epochs: int = 5,
+        sample_parameter_space: Optional[dict] = None,
+        save_checkpoint_every_n_epochs: int = 10,
+        t_checkpoints=None,
+        **base_kwargs,
+    ) -> None:
+        if schedule is None:
+            # reference defaults: cosine schedule, T=1000 (:199-233)
+            schedule = named_beta_schedule(
+                beta_schedule_name or "cosine", timesteps or 1000,
+            )
+        elif beta_schedule_name:
+            schedule = named_beta_schedule(beta_schedule_name, timesteps or len(schedule))
+        super().__init__(
+            backbone=backbone,
+            backbone_kwargs=backbone_kwargs,
+            schedule=schedule,
+            loss_func=loss_func,
+            timesteps=timesteps,
+            cond_fn=cond_fn,
+            cond_fn_kwargs=cond_fn_kwargs,
+            optimizer=optimizer,
+            opt_kwargs=opt_kwargs,
+            **base_kwargs,
+        )
+        as_enum = lambda e, v: e(v) if isinstance(v, str) else v
+        self.model_mean_type = as_enum(ModelMeanType, model_mean_type)
+        self.model_var_type = as_enum(ModelVarType, model_var_type)
+        self.loss_type = as_enum(LossType, loss_type)
+        self.coeffs = coefficients_from_schedule(schedule)
+        self.clip_denoised = clip_denoised
+        self.thresholding_percentile = thresholding_percentile
+        self.sampling_batch_size = sampling_batch_size
+        self.sample_every_n_epochs = sample_every_n_epochs
+        self.sample_parameter_space = sample_parameter_space
+        self.save_weights_every_n_epochs = save_checkpoint_every_n_epochs
+        self.t_checkpoints = t_checkpoints
+
+    def _model_fn(self, params, conditions, train: bool = False) -> Callable:
+        def fn(x, t):
+            return self.apply(params, x, t, conditions, train).astype(x.dtype)
+
+        return fn
+
+    # -- training ------------------------------------------------------
+    def forward_process(self, rng, data, t=None):
+        t_rng, n_rng = jax.random.split(rng)
+        if t is None:
+            t = self.random_timesteps(t_rng, data.shape[0])
+        noise = jax.random.normal(n_rng, data.shape, data.dtype)
+        return q_sample(self.coeffs, data, t, noise), noise, t
+
+    def loss_and_metrics(self, params, batch, rng):
+        """Noise-once training step (reference training_step :1153-1210
+        double-noised; fixed here)."""
+        batch = normalize_batch(batch)
+        data, labels = batch["data"], batch["labels"]
+        t_rng, n_rng = jax.random.split(rng)
+        t = self.random_timesteps(t_rng, data.shape[0])
+        noise = jax.random.normal(n_rng, data.shape, data.dtype)
+        terms = training_losses(
+            self.coeffs,
+            self._model_fn(params, labels, train=True),
+            data,
+            t,
+            noise,
+            self.model_mean_type,
+            self.model_var_type,
+            self.loss_type,
+        )
+        loss = jnp.mean(terms["loss"])
+        metrics = self.training_metrics(data, terms.get("x_t", data), loss)
+        if "vb" in terms:
+            metrics["vb"] = jnp.mean(terms["vb"])
+        if "mse" in terms:
+            metrics["mse"] = jnp.mean(terms["mse"])
+        return loss, metrics
+
+    # -- sampling ------------------------------------------------------
+    def reverse_process(
+        self,
+        params,
+        rng,
+        shape,
+        conditions=None,
+        sampler: str = "ddim",
+        eta: float = 0.0,
+        num_steps: Optional[int] = None,
+        x_T=None,
+        progressive: bool = False,
+        cond_grad_fn=None,
+        use_ema_params=None,
+    ):
+        """DDIM (default, like the reference's reverse_process :1029-1099) or
+        ancestral sampling, optionally respaced to ``num_steps`` steps."""
+        coeffs = self.coeffs
+        if num_steps and num_steps < coeffs.num_timesteps:
+            coeffs = respace(coeffs, num_steps)
+        p = use_ema_params if use_ema_params is not None else params
+        return sample_loop(
+            coeffs,
+            self._model_fn(p, conditions),
+            shape,
+            rng,
+            self.model_mean_type,
+            self.model_var_type,
+            sampler=sampler,
+            eta=eta,
+            clip_denoised=self.clip_denoised,
+            cond_grad_fn=cond_grad_fn,
+            x_T=x_T,
+            progressive=progressive,
+        )
+
+    def generate(
+        self,
+        params,
+        rng=None,
+        batch_size: Optional[int] = None,
+        parameter_space: Optional[dict] = None,
+        conditions=None,
+        random: bool = False,
+        as_hash_embeddings: bool = False,
+        sampler: str = "ddim",
+        num_steps: Optional[int] = None,
+        eta: float = 0.0,
+    ):
+        """Deterministic eval-grid generation (reference generate :1102-1146
+        draws sequential parameter-space rows, random=False)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        batch_size = batch_size or self.sampling_batch_size
+        shape = self.sample_shape(batch_size)
+        space = parameter_space or self.sample_parameter_space
+        if conditions is None and space is not None:
+            embedding_dim = self.backbone_kwargs.get("model_channels", 64) * 4
+            conditions = self.conditions_from_parameter_space(
+                space, batch_size, random=random,
+                as_hash_embeddings=as_hash_embeddings, embedding_dim=embedding_dim,
+            )
+        else:
+            conditions = self.coerce_conditions(conditions, batch_size, rng)
+        return self.reverse_process(
+            params, rng, shape, conditions, sampler=sampler,
+            num_steps=num_steps, eta=eta,
+        )
+
+    def calc_bpd(self, params, data, rng, conditions=None, clip_denoised=True):
+        """Bits-per-dim evaluation (reference calc_bpd_loop :955-1009)."""
+        return calc_bpd_loop(
+            self.coeffs,
+            self._model_fn(params, conditions),
+            data,
+            rng,
+            self.model_mean_type,
+            self.model_var_type,
+            clip_denoised=clip_denoised,
+        )

@@ -1,0 +1,6 @@
+from rho_diffusion_tpu.metrics.losses import (  # noqa: F401
+    discretized_gaussian_log_likelihood,
+    normal_kl,
+    psnr,
+    resolve_loss,
+)

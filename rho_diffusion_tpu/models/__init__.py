@@ -1,0 +1,2 @@
+from rho_diffusion_tpu.models.conditioning import ClassifierGuidance, MultiEmbeddings  # noqa: F401
+from rho_diffusion_tpu.models.unet import UNet  # noqa: F401

@@ -1,0 +1,91 @@
+"""Physics-parameter conditioning modules.
+
+``MultiEmbeddings`` is the reference's conditioning workhorse
+(/root/reference/rho_diffusion/models/conditioning.py:31-139): one embedding
+table per parameter-space dimension; a batch of raw parameter rows is mapped
+to per-dimension categorical indices by value-equality lookup against the
+parameter space, and the per-dimension embedding vectors are SUMMED.
+
+The torch value lookup (``torch.where(y[:, i] == values)``) becomes a
+vectorized ``argmax`` over an equality matrix against a static value table —
+jit-compatible, no data-dependent shapes.
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rho_diffusion_tpu.registry import registry
+
+
+@registry.register_layer("MultiEmbeddings")
+class MultiEmbeddings(nn.Module):
+    """Sum of per-parameter embeddings over a discrete parameter space.
+
+    Attributes:
+        parameter_space: mapping of parameter name -> list of admissible
+            values (ordered). May be a plain dict or a
+            ``DiscreteParameterSpace``.
+        embedding_dim: length of each embedding vector (reference default 512).
+    """
+
+    parameter_space: Any
+    embedding_dim: int = 512
+    param_dtype: Any = jnp.float32
+
+    def _space_items(self) -> list[tuple[str, tuple]]:
+        space = self.parameter_space
+        if hasattr(space, "parameters"):  # DiscreteParameterSpace
+            space = space.parameters
+        if not isinstance(space, Mapping):
+            raise TypeError(
+                "parameter_space must be a mapping or DiscreteParameterSpace",
+            )
+        return [(k, tuple(v)) for k, v in space.items()]
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        items = self._space_items()
+        emb = None
+        for i, (key, values) in enumerate(items):
+            yi = y if y.ndim == 1 else y[:, i]
+            table = jnp.asarray(values, dtype=jnp.float32)
+            # index of each raw value in the admissible-value table
+            # (equality semantics identical to the reference's torch.where;
+            # unmatched values resolve to index 0 rather than erroring).
+            categorical = jnp.argmax(
+                yi.astype(jnp.float32)[:, None] == table[None, :], axis=-1,
+            )
+            layer = nn.Embed(
+                num_embeddings=len(values),
+                features=self.embedding_dim,
+                param_dtype=self.param_dtype,
+                name=f"embedding_{key}",
+            )
+            e = layer(categorical)
+            emb = e if emb is None else emb + e
+        return emb
+
+
+@registry.register_layer("ClassifierGuidance")
+class ClassifierGuidance(nn.Module):
+    """Classifier-guidance conditioning hook.
+
+    The reference ships only a placeholder with ``classifier=None``
+    (conditioning.py:142-155). The functional guidance math
+    (condition_mean/condition_score) lives in the Gaussian diffusion
+    pipeline; this module exists for registry parity and carries an optional
+    classifier apply function used by those hooks.
+    """
+
+    classifier: Any = None
+    guidance_scale: float = 1.0
+
+    def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError(
+            "ClassifierGuidance is applied at sampling time via "
+            "GaussianDiffusion.condition_mean/condition_score, not as an "
+            "embedding cond_fn.",
+        )

@@ -1,0 +1,65 @@
+"""Multi-head self-attention over flattened spatial tokens.
+
+Equivalent of the reference's QKVAttention/QKVAttentionLegacy
+(/root/reference/rho_diffusion/models/unet_v2.py:365-436): the UNet flattens
+all spatial dims into one token axis and runs full softmax attention. The
+numerics preserved here:
+
+* the double-sqrt scaling — q and k are each scaled by 1/sqrt(sqrt(d)) before
+  the product, for fp16/bf16 stability (unet_v2.py:385-392, 420-427);
+* softmax computed in float32 and cast back (unet_v2.py:391, 426).
+
+Layout is [B, T, H, D] (tokens, heads, head-dim channels-last). Two backends:
+
+* ``xla`` — einsum attention; XLA fuses this well for the short token counts
+  the UNet produces at coarse resolutions (e.g. 512 tokens for 32^3 at ds=8);
+* ``flash`` — the Pallas online-softmax kernel
+  (rho_diffusion_tpu.ops.pallas.flash_attention) for long sequences, where
+  the T^2 score matrix would blow HBM bandwidth/VMEM.
+
+``attention()`` auto-dispatches on sequence length and platform.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Sequences at least this long route to the Pallas flash kernel on TPU.
+FLASH_MIN_SEQ_LEN = 1024
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+) -> jnp.ndarray:
+    """Reference einsum attention. q, k, v: [B, T, H, D] -> [B, T, H, D]."""
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.sqrt(jnp.asarray(d, jnp.float32)))
+    scale = scale.astype(q.dtype)
+    logits = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhts,bshd->bthd", weights, v)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Dispatching multi-head attention. q, k, v: [B, T, H, D]."""
+    if backend == "auto":
+        use_flash = (
+            q.shape[1] >= FLASH_MIN_SEQ_LEN
+            and q.shape[-1] <= 256
+            and jax.default_backend() == "tpu"
+        )
+        backend = "flash" if use_flash else "xla"
+    if backend == "xla":
+        return xla_attention(q, k, v)
+    if backend == "flash":
+        from rho_diffusion_tpu.ops.pallas.flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    raise ValueError(f"Unknown attention backend '{backend}'")

@@ -1,0 +1,148 @@
+"""Dimension-generic convolution / pooling / resampling primitives.
+
+TPU-native equivalents of the reference's conv_nd / avg_pool_nd switches
+(/root/reference/rho_diffusion/layers.py:77-102) and the UNet's
+Upsample/Downsample blocks (unet_v2.py:103-169). Everything is
+channels-LAST ([B, *spatial, C]) so the channel axis lands on the TPU lane
+dimension and convs lower onto the MXU; ``flax.linen.Conv`` dispatches to
+``lax.conv_general_dilated`` which is rank-generic, so no 1d/2d/3d switch is
+needed.
+
+Semantics preserved from the reference:
+* zero-initialised output convs (``zero_module``, layers.py:113-119) via
+  ``zeros`` kernel/bias init;
+* 3D up/downsampling touches only the inner two spatial dims
+  (unet_v2.py:124-129, 153).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def conv_nd(
+    dims: int,
+    features: int,
+    kernel_size: int = 3,
+    stride: int | Sequence[int] = 1,
+    padding: str | int = "SAME",
+    zero_init: bool = False,
+    dtype=None,
+    name: str | None = None,
+) -> nn.Conv:
+    """An n-dimensional convolution (reference layers.py:77-88).
+
+    ``padding='SAME'`` corresponds to the reference's padding=k//2 for odd k.
+    """
+    if isinstance(stride, int):
+        stride = (stride,) * dims
+    if isinstance(padding, int):
+        padding = [(padding, padding)] * dims
+    kwargs = {}
+    if zero_init:
+        kwargs["kernel_init"] = nn.initializers.zeros
+        kwargs["bias_init"] = nn.initializers.zeros
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size,) * dims,
+        strides=tuple(stride),
+        padding=padding,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+        **kwargs,
+    )
+
+
+def avg_pool_nd(
+    x: jnp.ndarray,
+    dims: int,
+    window: int | Sequence[int],
+    stride: int | Sequence[int] | None = None,
+) -> jnp.ndarray:
+    """n-dimensional average pooling over [B, *spatial, C]
+    (reference layers.py:91-102)."""
+    if isinstance(window, int):
+        window = (window,) * dims
+    if stride is None:
+        stride = window
+    elif isinstance(stride, int):
+        stride = (stride,) * dims
+    return nn.avg_pool(x, tuple(window), strides=tuple(stride), padding="VALID")
+
+
+def _resample_factors(dims: int) -> tuple[int, ...]:
+    """Per-spatial-dim resampling factor. 3D resamples only the inner two
+    dims (reference unet_v2.py:124-129, 153)."""
+    if dims == 3:
+        return (1, 2, 2)
+    return (2,) * dims
+
+
+def upsample_nearest(x: jnp.ndarray, dims: int) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsampling (inner two dims only for 3D),
+    matching F.interpolate(mode='nearest') (reference unet_v2.py:117-132).
+
+    Implemented as jnp.repeat along each spatial axis — exact for integer
+    factors and cheap on TPU (pure layout op fused by XLA).
+    """
+    factors = _resample_factors(dims)
+    for axis, f in enumerate(factors, start=1):
+        if f > 1:
+            x = jnp.repeat(x, f, axis=axis)
+    return x
+
+
+class Upsample(nn.Module):
+    """2x nearest upsample with optional 3x3 conv (reference unet_v2.py:103-134)."""
+
+    dims: int
+    use_conv: bool
+    out_channels: int | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = upsample_nearest(x, self.dims)
+        if self.use_conv:
+            x = conv_nd(
+                self.dims,
+                self.out_channels or x.shape[-1],
+                3,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """2x downsample via strided conv or average pooling
+    (reference unet_v2.py:137-169). 3D strides are (1, 2, 2)."""
+
+    dims: int
+    use_conv: bool
+    out_channels: int | None = None
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        stride = _resample_factors(self.dims)
+        if self.use_conv:
+            return conv_nd(
+                self.dims,
+                self.out_channels or x.shape[-1],
+                3,
+                stride=stride,
+                dtype=self.dtype,
+                name="op",
+            )(x)
+        assert self.out_channels in (None, x.shape[-1])
+        return avg_pool_nd(x, self.dims, stride, stride)
+
+
+def mean_flat(x: jnp.ndarray) -> jnp.ndarray:
+    """Mean over all non-batch dimensions (reference layers.py:105-110)."""
+    return jnp.mean(x, axis=tuple(range(1, x.ndim)))

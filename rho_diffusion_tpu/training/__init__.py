@@ -1,0 +1,3 @@
+from rho_diffusion_tpu.training.ema import ema_update  # noqa: F401
+from rho_diffusion_tpu.training.optimizers import build_lr_schedule, build_optimizer  # noqa: F401
+from rho_diffusion_tpu.training.state import TrainState, create_train_state  # noqa: F401

@@ -1,0 +1,82 @@
+"""Checkpoint / resume of the FULL training state.
+
+The reference saved backbone-only state_dicts every N epochs
+(/root/reference/rho_diffusion/utils.py:166-167; ddpm.py:312-317,363-365) —
+optimizer moments, EMA, step and RNG were lost on restart. Here orbax
+checkpoints the entire ``TrainState`` pytree {params, opt_state, ema_params,
+step, rng}, giving exact resume (strictly-better parity, SURVEY.md §5).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from rho_diffusion_tpu.training.state import TrainState
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: numbered step checkpoints with retention."""
+
+    def __init__(self, directory: str | Path, max_to_keep: int = 3) -> None:
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True,
+            ),
+        )
+
+    def save(self, state: TrainState, step: Optional[int] = None, wait: bool = False) -> None:
+        step = int(state.step) if step is None else step
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the structure of ``template`` (an abstract or concrete
+        TrainState built the same way as at save time)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+
+def save_model_weights(params, path: str | Path) -> None:
+    """Backbone-only weight export (reference save_model_weights
+    ddpm.py:363-365 / utils.py:166-167 parity) as an .npz of flattened leaves."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    np.savez(path, **arrays)
+
+
+def load_model_weights(params_template, path: str | Path):
+    """Load an .npz produced by ``save_model_weights`` back into a pytree
+    with the structure of ``params_template``."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params_template)
+    leaves = []
+    for k, v in flat:
+        key = jax.tree_util.keystr(k)
+        if key not in data:
+            raise KeyError(f"weight '{key}' missing from {path}")
+        saved = data[key]
+        if saved.shape != v.shape:
+            raise ValueError(
+                f"shape mismatch for '{key}': checkpoint {saved.shape} vs "
+                f"model {v.shape}",
+            )
+        leaves.append(saved.astype(v.dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
