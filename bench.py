@@ -1,0 +1,137 @@
+"""Benchmark: training steps/sec/chip on the reference's headline workload.
+
+Workload = examples/config_spherical_harmonics.json (reference
+BASELINE.md): UNetv2 dims=3, model_channels=64, 32^3 grid, T=1000
+LinearSchedule, global batch 32 — the 3D conditional-density flagship.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md: "published": {}), so
+``vs_baseline`` compares against the most recent recorded BENCH_r*.json in
+the repo (1.0 on the first round).
+
+Env knobs:
+    BENCH_STEPS (default 10), BENCH_WARMUP (3), BENCH_BATCH (32),
+    BENCH_DTYPE (bfloat16|float32, default bfloat16),
+    BENCH_GRID (32), BENCH_SMOKE=1 for a tiny CPU-runnable smoke.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+
+def _previous_bench_value() -> float | None:
+    """Newest BENCH_r{N}.json value, if any rounds have been recorded."""
+    best = None
+    for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                payload = json.load(f)
+            value = float(payload.get("value"))
+        except Exception:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, value)
+    return best[1] if best else None
+
+
+def main() -> None:
+    # persistent compile cache: the tunneled-TPU remote compile of the 3D
+    # UNet takes minutes cold; cached reruns are seconds.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/rho_jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rho_diffusion_tpu.diffusion import DDPM, LinearSchedule
+
+    smoke = os.environ.get("BENCH_SMOKE") == "1"
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    warmup = int(os.environ.get("BENCH_WARMUP", 3))
+    batch = int(os.environ.get("BENCH_BATCH", 8 if smoke else 32))
+    grid = int(os.environ.get("BENCH_GRID", 8 if smoke else 32))
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    mc = 16 if smoke else 64
+
+    pipe = DDPM(
+        backbone="UNetv2",
+        backbone_kwargs=dict(
+            data_shape=(grid,) * 3,
+            dims=3,
+            in_channels=1,
+            out_channels=1,
+            model_channels=mc,
+            num_res_blocks=2,
+            channel_mult=(1, 2) if smoke else (1, 2, 4, 8),
+            attention_resolutions=[16, 8],
+            num_heads=4,
+            num_classes=20,
+            use_scale_shift_norm=True,
+            dtype=dtype,
+        ),
+        schedule=LinearSchedule(1000),
+        optimizer="AdamW",
+        opt_kwargs={"lr": 1e-4},
+        ema_decay=0.9999,
+    )
+    state = pipe.create_state(jax.random.PRNGKey(777))
+
+    rng = np.random.default_rng(0)
+    data = rng.uniform(0.0, 1.0, (batch, grid, grid, grid, 1)).astype(np.float32)
+    labels = rng.uniform(0.0, 1.0, (batch, 4 * mc)).astype(np.float32)
+    batch_dict = {"data": jnp.asarray(data), "labels": jnp.asarray(labels)}
+
+    t_compile = time.perf_counter()
+    for _ in range(max(warmup, 1)):
+        state, metrics = pipe.training_step(state, batch_dict)
+    jax.block_until_ready(metrics["train_loss"])
+    compile_s = time.perf_counter() - t_compile
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = pipe.training_step(state, batch_dict)
+    jax.block_until_ready(metrics["train_loss"])
+    elapsed = time.perf_counter() - t0
+
+    n_chips = max(jax.device_count(), 1)
+    steps_per_sec_chip = steps / elapsed / n_chips
+    loss = float(metrics["train_loss"])
+
+    prev = _previous_bench_value()
+    vs_baseline = steps_per_sec_chip / prev if prev else 1.0
+    result = {
+        "metric": "train_steps_per_sec_per_chip_3d_unet_32cubed_b32"
+        if not smoke
+        else "train_steps_per_sec_per_chip_smoke",
+        "value": round(steps_per_sec_chip, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(vs_baseline, 4),
+    }
+    # diagnostics on stderr so stdout stays one JSON line
+    print(
+        f"backend={jax.default_backend()} chips={n_chips} dtype={dtype_name} "
+        f"batch={batch} grid={grid} warmup+compile={compile_s:.1f}s "
+        f"elapsed={elapsed:.2f}s loss={loss:.4f} finite={np.isfinite(loss)}",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

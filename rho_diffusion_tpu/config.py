@@ -100,6 +100,10 @@ class ExperimentConfig(BaseModel):
     optimizer: ComponentConfig
     lr_scheduler: Optional[ComponentConfig] = None
     noise_schedule: ComponentConfig
+    # TPU-native addition: select the diffusion pipeline by name
+    # (DDPM | GaussianDiffusionPipeline | DiffusersDDPMPipeline); the
+    # reference hardcoded the choice in each script.
+    pipeline: Optional[ComponentConfig] = None
     training: TrainingConfig = TrainingConfig()
     inference: InferenceConfig = InferenceConfig()
 

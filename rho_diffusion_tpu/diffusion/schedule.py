@@ -93,8 +93,19 @@ class NoiseSchedule:
 
 
 def schedule_from_betas(beta: np.ndarray) -> NoiseSchedule:
-    """Build the full coefficient table from a float64 beta array."""
+    """Build the full coefficient table from a float64 beta array.
+
+    Validates beta in (0, 1): the reference's 1000/T scaling silently makes
+    betas > 1 for small T (e.g. LinearSchedule(10) -> beta_T = 2.0), which
+    turns alpha negative and every sqrt NaN. We fail loudly instead.
+    """
     beta = np.asarray(beta, dtype=np.float64)
+    if not ((beta > 0.0) & (beta < 1.0)).all():
+        raise ValueError(
+            f"betas must lie in (0, 1); got range [{beta.min():.4g}, "
+            f"{beta.max():.4g}]. With the reference's 1000/T scaling, small "
+            f"num_steps needs proportionally smaller beta_1/beta_T.",
+        )
     alpha = 1.0 - beta
     alpha_bar = np.cumprod(alpha)
     offset_alpha_bar = np.concatenate([[1.0], alpha_bar[:-1]])

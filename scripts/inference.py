@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Sampling / inference CLI (reference scripts/inference.py parity).
+
+    python scripts/inference.py CONFIG.json [-p weights.npz] [-n N] [-f]
+        [-d tpu|cpu] [--sampler ddpm|ddim] [--steps K]
+
+Behaviour mirrors the reference (scripts/inference.py:44-176):
+* if ``inference.cache_file`` exists and ``-f`` is not given, plot straight
+  from the HDF5 cache;
+* otherwise build the pipeline, load weights, draw conditions as the
+  FIRST-N sequential rows of ``inference.parameter_space`` (deterministic
+  eval grid, random=False), run the reverse process fully on device, write
+  the HDF5 cache and optional PNG grid.
+
+TPU-native additions: ``--sampler ddim --steps K`` respaced fast sampling,
+EMA-weight selection, platform override.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("json_config", type=Path)
+    parser.add_argument("-p", dest="model_checkpoint_path", type=Path, default=None)
+    parser.add_argument("-d", "--device", default=None)
+    parser.add_argument("-n", dest="n_samples", type=int, default=10)
+    parser.add_argument(
+        "-f", dest="forced_overwrite", action="store_true", default=False,
+        help="overwrite an existing inference output cache file",
+    )
+    parser.add_argument("--sampler", default=None, choices=["ddpm", "ddim"])
+    parser.add_argument("--steps", type=int, default=None, help="respaced sampling steps")
+    parser.add_argument("--work-dir", type=Path, default=Path("."))
+    args = parser.parse_args()
+
+    if args.device:
+        os.environ["JAX_PLATFORMS"] = args.device
+        if args.device == "cpu":
+            os.environ["PALLAS_AXON_POOL_IPS"] = ""
+
+    import h5py
+    import jax
+    import numpy as np
+
+    from rho_diffusion_tpu.config import ExperimentConfig
+    from rho_diffusion_tpu.registry import registry
+    from rho_diffusion_tpu.training.trainer import build_pipeline_from_config
+    from rho_diffusion_tpu.utils import plot_tensor_images
+
+    config = ExperimentConfig.from_json(args.json_config)
+    cache_file = config.inference.cache_file
+
+    # cache short-circuit (reference inference.py:95-107)
+    if cache_file and os.path.isfile(cache_file) and not args.forced_overwrite:
+        print(
+            f"Found cached generated data: {cache_file}. Plotting it; use -f "
+            f"to regenerate.",
+        )
+        if config.inference.plot_output_file:
+            with h5py.File(cache_file, "r") as f:
+                data = np.asarray(f["data"])
+            plot_tensor_images(data, filename=config.inference.plot_output_file)
+        return
+
+    # class-level parameter space, like the reference's
+    # registry.get("datasets", name).parameter_space (inference.py:109-111);
+    # ours come from a cheap instance (class attrs aren't populated pre-init)
+    ds_cls = registry.get("datasets", config.dataset.name)
+    try:
+        dataset = ds_cls(**config.dataset.kwargs)
+    except Exception:
+        dataset = None  # e.g. HDF5 file not present at inference time
+
+    pipeline = build_pipeline_from_config(
+        config,
+        dataset=dataset,
+        pipeline_name=(config.pipeline.name if config.pipeline else
+                      "GaussianDiffusionPipeline"),
+    )
+    rng = jax.random.PRNGKey(config.inference.seed)
+    state = pipeline.create_state(rng)
+    params = state.params
+    ckpt = args.model_checkpoint_path or config.inference.checkpoint
+    if ckpt and os.path.isfile(ckpt):
+        from rho_diffusion_tpu.training.checkpoint import load_model_weights
+
+        params = load_model_weights(params, ckpt)
+        print(f"loaded weights from {ckpt}")
+    elif ckpt:
+        print(f"WARNING: checkpoint '{ckpt}' not found; sampling untrained model")
+
+    use_hash = bool(getattr(dataset, "use_emb_as_labels", False)) if dataset else False
+    sampler = args.sampler or config.inference.sampler
+    num_steps = args.steps or (config.inference.ddim_steps or None)
+    kwargs = {}
+    if hasattr(pipeline, "coeffs"):  # GaussianDiffusion family
+        kwargs = {"sampler": sampler, "num_steps": num_steps}
+    samples = pipeline.generate(
+        params,
+        jax.random.PRNGKey(config.inference.seed),
+        batch_size=args.n_samples or config.inference.num_samples,
+        parameter_space=config.inference.parameter_space,
+        random=False,
+        as_hash_embeddings=use_hash,
+        **kwargs,
+    )
+    samples = np.asarray(samples)
+    print(f"generated {samples.shape}, finite={np.isfinite(samples).all()}")
+
+    if cache_file:
+        with h5py.File(cache_file, "w") as f:
+            f["data"] = samples
+        print(f"wrote {cache_file}")
+    if config.inference.plot_output_file:
+        plot_tensor_images(samples, filename=config.inference.plot_output_file)
+        print(f"wrote {config.inference.plot_output_file}")
+
+
+if __name__ == "__main__":
+    main()
