@@ -24,6 +24,11 @@ from rho_diffusion_tpu.training import optimizers as _optimizers  # noqa: F401
 from rho_diffusion_tpu.diffusion import schedule as _schedule  # noqa: F401
 from rho_diffusion_tpu.models import conditioning as _conditioning  # noqa: F401
 from rho_diffusion_tpu.models import unet as _unet  # noqa: F401
+from rho_diffusion_tpu.models import unet_simple as _unet_simple  # noqa: F401
+from rho_diffusion_tpu.models import vit as _vit  # noqa: F401
+from rho_diffusion_tpu.data import deep_galaxy as _deep_galaxy  # noqa: F401
+from rho_diffusion_tpu.data import spectroscopy as _spectroscopy  # noqa: F401
 from rho_diffusion_tpu.data import synthetic as _synthetic  # noqa: F401
+from rho_diffusion_tpu.data import wrappers as _wrappers  # noqa: F401
 
 from rho_diffusion_tpu.config import ExperimentConfig  # noqa: F401

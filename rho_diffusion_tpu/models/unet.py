@@ -227,17 +227,22 @@ class UNet(nn.Module):
                 emb = emb + self.cond_fn(y)
         emb = emb.astype(compute_dtype)
 
-        def maybe_attn(h, ds, heads):
+        # explicit module names keep the parameter tree identical whether
+        # or not blocks are wrapped in nn.remat (the transform changes
+        # auto-generated names), so use_checkpoint never invalidates
+        # checkpoints.
+        def maybe_attn(h, ds, heads, name):
             if ds in tuple(self.attention_resolutions):
                 h = attn_block(
                     num_heads=heads,
                     num_head_channels=self.num_head_channels,
                     backend=self.attention_backend,
                     dtype=compute_dtype,
+                    name=name,
                 )(h)
             return h
 
-        def res(h, out_ch, up=False, down=False):
+        def res(h, out_ch, name, up=False, down=False):
             return res_block(
                 out_channels=out_ch,
                 dims=self.dims,
@@ -247,6 +252,7 @@ class UNet(nn.Module):
                 down=down,
                 activation=act,
                 dtype=compute_dtype,
+                name=name,
             )(h, emb, train)
 
         # --- encoder (unet_v2.py:533-595) ---
@@ -257,46 +263,47 @@ class UNet(nn.Module):
         hs = [h]
         ds = 1
         for level, mult in enumerate(self.channel_mult):
-            for _ in range(self.num_res_blocks):
+            for i in range(self.num_res_blocks):
                 ch = int(mult * self.model_channels)
-                h = res(h, ch)
-                h = maybe_attn(h, ds, self.num_heads)
+                h = res(h, ch, name=f"enc_res_{level}_{i}")
+                h = maybe_attn(h, ds, self.num_heads, name=f"enc_attn_{level}_{i}")
                 hs.append(h)
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
-                    h = res(h, ch, down=True)
+                    h = res(h, ch, name=f"down_{level}", down=True)
                 else:
                     h = Downsample(
                         self.dims, use_conv=self.conv_resample, out_channels=ch,
-                        dtype=compute_dtype,
+                        dtype=compute_dtype, name=f"down_{level}",
                     )(h)
                 hs.append(h)
                 ds *= 2
 
         # --- middle block (unet_v2.py:597-623) ---
-        h = res(h, ch)
+        h = res(h, ch, name="mid_res_0")
         h = attn_block(
             num_heads=self.num_heads,
             num_head_channels=self.num_head_channels,
             backend=self.attention_backend,
             dtype=compute_dtype,
+            name="mid_attn",
         )(h)
-        h = res(h, ch)
+        h = res(h, ch, name="mid_res_1")
 
         # --- decoder with skip concat (unet_v2.py:626-677) ---
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
                 ch = int(self.model_channels * mult)
-                h = res(h, ch)
-                h = maybe_attn(h, ds, heads_up)
+                h = res(h, ch, name=f"dec_res_{level}_{i}")
+                h = maybe_attn(h, ds, heads_up, name=f"dec_attn_{level}_{i}")
                 if level and i == self.num_res_blocks:
                     if self.resblock_updown:
-                        h = res(h, ch, up=True)
+                        h = res(h, ch, name=f"up_{level}", up=True)
                     else:
                         h = Upsample(
                             self.dims, use_conv=self.conv_resample, out_channels=ch,
-                            dtype=compute_dtype,
+                            dtype=compute_dtype, name=f"up_{level}",
                         )(h)
                     ds //= 2
         assert not hs

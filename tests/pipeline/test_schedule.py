@@ -78,8 +78,15 @@ def test_schedule_is_pytree():
     """Schedules must flow through jit/scan as pytrees."""
     import jax
 
-    sch = s.LinearSchedule(10)
+    sch = s.LinearSchedule(100)
     leaves = jax.tree_util.tree_leaves(sch)
     assert len(leaves) == 4
     out = jax.jit(lambda sc: sc.alpha_bar_t[-1])(sch)
     assert np.isfinite(out)
+
+
+def test_invalid_scaled_betas_fail_loudly():
+    """1000/T scaling can push betas out of (0,1) for small T; the reference
+    produced silent NaNs — we raise."""
+    with pytest.raises(ValueError, match="betas must lie in"):
+        s.LinearSchedule(10)
