@@ -1,0 +1,4 @@
+from rho_diffusion_tpu.interop.torch_weights import (  # noqa: F401
+    load_reference_modules,
+    transplant_unet_state_dict,
+)

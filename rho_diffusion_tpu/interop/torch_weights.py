@@ -1,0 +1,297 @@
+"""Interop with the PyTorch reference: load its modules standalone and
+transplant UNetv2 ``state_dict`` weights into our flax parameter tree.
+
+Two purposes:
+* migration — users of intel/rho-diffusion can load their trained
+  ``model.pth`` checkpoints (backbone state_dicts, reference
+  utils.py:166-167) directly into this framework;
+* verification — the numerical-parity harness (tools/parity_check.py,
+  tests/parity/) transplants weights and measures field MSE between the
+  torch reference forward pass and ours (<1e-4 target, BASELINE.md).
+
+The reference package cannot be imported wholesale here (its pipeline layer
+hard-imports lightning/diffusers, which are not installed); we construct a
+synthetic ``rho_diffusion`` package in sys.modules from the read-only
+reference checkout, loading only the torch-only modules (registry, layers,
+common, conditioning, unet_v2, schedule) with torchvision stubbed out.
+"""
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+REFERENCE_ROOT = Path("/root/reference")
+
+
+def _load_module(fqname: str, path: Path):
+    spec = importlib.util.spec_from_file_location(fqname, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[fqname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_reference_modules(root: Path = REFERENCE_ROOT) -> dict[str, Any]:
+    """Load the torch-only reference modules under a synthetic package.
+
+    Returns a dict with keys: registry, layers, common, parameter_space,
+    conditioning, unet_v2, schedule, utils.
+    """
+    if not root.exists():
+        raise FileNotFoundError(f"reference checkout not found at {root}")
+    # stub heavy optional deps the target modules import at module level
+    def _permissive_stub(name: str) -> types.ModuleType:
+        stub = types.ModuleType(name)
+        # PEP 562 module __getattr__: any attribute resolves to a no-op
+        # callable, so `from torchvision.utils import save_image` etc. work.
+        stub.__getattr__ = lambda attr: (lambda *a, **kw: None)
+        return stub
+
+    for stub_name in ("torchvision", "torchvision.transforms",
+                      "torchvision.transforms.transforms", "torchvision.utils",
+                      "matplotlib", "matplotlib.pyplot", "tqdm"):
+        if stub_name not in sys.modules:
+            sys.modules[stub_name] = _permissive_stub(stub_name)
+
+    pkg_root = root / "rho_diffusion"
+    if "rho_diffusion" not in sys.modules:
+        pkg = types.ModuleType("rho_diffusion")
+        pkg.__path__ = [str(pkg_root)]
+        sys.modules["rho_diffusion"] = pkg
+        for sub in ("models", "data", "diffusion"):
+            sp = types.ModuleType(f"rho_diffusion.{sub}")
+            sp.__path__ = [str(pkg_root / sub)]
+            sys.modules[f"rho_diffusion.{sub}"] = sp
+
+    mods = {}
+    order = [
+        ("registry", "registry.py"),
+        ("utils", "utils.py"),
+        ("layers", "layers.py"),
+        ("activations", "activations.py"),
+        ("models.common", "models/common.py"),
+        ("data.parameter_space", "data/parameter_space.py"),
+        ("models.conditioning", "models/conditioning.py"),
+        ("models.unet_v2", "models/unet_v2.py"),
+        ("diffusion.schedule", "diffusion/schedule.py"),
+    ]
+    for name, rel in order:
+        fq = f"rho_diffusion.{name}"
+        if fq in sys.modules and hasattr(sys.modules[fq], "__file__"):
+            mods[name.split(".")[-1]] = sys.modules[fq]
+            continue
+        mods[name.split(".")[-1]] = _load_module(fq, pkg_root / rel)
+    return mods
+
+
+# ---------------------------------------------------------------------------
+# state_dict -> flax params
+# ---------------------------------------------------------------------------
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch conv weight [O, I, *K] -> flax [*K, I, O]."""
+    spatial = list(range(2, w.ndim))
+    return np.transpose(w, (*spatial, 1, 0))
+
+
+def _dense_from_linear(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _dense_from_conv1x1(w: np.ndarray) -> np.ndarray:
+    """torch 1x1 conv_nd weight [O, I, 1...] -> flax Dense kernel [I, O]."""
+    return np.transpose(w.reshape(w.shape[0], w.shape[1]), (1, 0))
+
+
+class _SD:
+    """state_dict accessor tracking consumed keys."""
+
+    def __init__(self, sd: dict) -> None:
+        self.sd = {k: np.asarray(v) for k, v in sd.items()}
+        self.used: set[str] = set()
+
+    def __call__(self, key: str) -> np.ndarray:
+        if key not in self.sd:
+            raise KeyError(f"missing reference weight '{key}'")
+        self.used.add(key)
+        return self.sd[key]
+
+    def unused(self) -> list[str]:
+        return sorted(set(self.sd) - self.used)
+
+
+def _groupnorm(sd: _SD, prefix: str) -> dict:
+    return {
+        "GroupNorm_0": {
+            "scale": sd(f"{prefix}.weight"),
+            "bias": sd(f"{prefix}.bias"),
+        },
+    }
+
+
+def _resblock(sd: _SD, prefix: str, has_skip: bool) -> dict:
+    out = {
+        "norm_in": _groupnorm(sd, f"{prefix}.in_layers.0"),
+        "conv_in": {
+            "kernel": _conv_kernel(sd(f"{prefix}.in_layers.2.weight")),
+            "bias": sd(f"{prefix}.in_layers.2.bias"),
+        },
+        "emb_proj": {
+            "kernel": _dense_from_linear(sd(f"{prefix}.emb_layers.1.weight")),
+            "bias": sd(f"{prefix}.emb_layers.1.bias"),
+        },
+        "norm_out": _groupnorm(sd, f"{prefix}.out_layers.0"),
+        "conv_out": {
+            "kernel": _conv_kernel(sd(f"{prefix}.out_layers.3.weight")),
+            "bias": sd(f"{prefix}.out_layers.3.bias"),
+        },
+    }
+    if has_skip:
+        w = sd(f"{prefix}.skip_connection.weight")
+        out["skip"] = {
+            "kernel": _dense_from_conv1x1(w),
+            "bias": sd(f"{prefix}.skip_connection.bias"),
+        }
+    return out
+
+
+def _attnblock(sd: _SD, prefix: str) -> dict:
+    return {
+        "norm": _groupnorm(sd, f"{prefix}.norm"),
+        "qkv": {
+            "kernel": _dense_from_conv1x1(sd(f"{prefix}.qkv.weight")),
+            "bias": sd(f"{prefix}.qkv.bias"),
+        },
+        "proj_out": {
+            "kernel": _dense_from_conv1x1(sd(f"{prefix}.proj_out.weight")),
+            "bias": sd(f"{prefix}.proj_out.bias"),
+        },
+    }
+
+
+def transplant_unet_state_dict(
+    state_dict: dict,
+    model_channels: int,
+    num_res_blocks: int,
+    channel_mult=(1, 2, 4, 8),
+    attention_resolutions=(16, 8),
+    conv_resample: bool = True,
+    resblock_updown: bool = False,
+    strict: bool = True,
+) -> dict:
+    """Convert a reference UNetv2 ``state_dict`` (torch tensors or numpy)
+    into our flax ``params`` tree (channels-last kernels).
+
+    The encoder/decoder enumeration mirrors the reference's module-list
+    construction (unet_v2.py:533-683) so torch's flat ``input_blocks.N``
+    indices land on our named blocks (enc_res_{level}_{i}, down_{level},
+    mid_*, dec_res_{level}_{i}, up_{level}).
+    """
+    sd = _SD({k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in state_dict.items()})
+    params: dict = {}
+
+    params["time_dense_0"] = {
+        "kernel": _dense_from_linear(sd("time_embed.0.weight")),
+        "bias": sd("time_embed.0.bias"),
+    }
+    params["time_dense_1"] = {
+        "kernel": _dense_from_linear(sd("time_embed.2.weight")),
+        "bias": sd("time_embed.2.bias"),
+    }
+    # conditioning embeddings, if present
+    cond = {}
+    for key in list(sd.sd):
+        if key.startswith("cond_fn.embedding_layers."):
+            pname = key.split(".")[2]
+            cond[f"embedding_{pname}"] = {"embedding": sd(key)}
+    if cond:
+        params["cond_fn"] = cond
+
+    params["conv_in"] = {
+        "kernel": _conv_kernel(sd("input_blocks.0.0.weight")),
+        "bias": sd("input_blocks.0.0.bias"),
+    }
+
+    # --- encoder ---
+    idx = 1
+    ch = int(channel_mult[0] * model_channels)
+    ds = 1
+    for level, mult in enumerate(channel_mult):
+        for i in range(num_res_blocks):
+            out_ch = int(mult * model_channels)
+            params[f"enc_res_{level}_{i}"] = _resblock(
+                sd, f"input_blocks.{idx}.0", has_skip=out_ch != ch,
+            )
+            ch = out_ch
+            if ds in tuple(attention_resolutions):
+                params[f"enc_attn_{level}_{i}"] = _attnblock(
+                    sd, f"input_blocks.{idx}.1",
+                )
+            idx += 1
+        if level != len(channel_mult) - 1:
+            if resblock_updown:
+                params[f"down_{level}"] = _resblock(
+                    sd, f"input_blocks.{idx}.0", has_skip=False,
+                )
+            else:
+                params[f"down_{level}"] = {
+                    "op": {
+                        "kernel": _conv_kernel(sd(f"input_blocks.{idx}.0.op.weight")),
+                        "bias": sd(f"input_blocks.{idx}.0.op.bias"),
+                    },
+                }
+            idx += 1
+            ds *= 2
+
+    # --- middle ---
+    params["mid_res_0"] = _resblock(sd, "middle_block.0", has_skip=False)
+    params["mid_attn"] = _attnblock(sd, "middle_block.1")
+    params["mid_res_1"] = _resblock(sd, "middle_block.2", has_skip=False)
+
+    # --- decoder ---
+    idx = 0
+    for level, mult in reversed(list(enumerate(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            out_ch = int(model_channels * mult)
+            params[f"dec_res_{level}_{i}"] = _resblock(
+                sd, f"output_blocks.{idx}.0", has_skip=True,
+            )
+            ch = out_ch
+            layer = 1
+            if ds in tuple(attention_resolutions):
+                params[f"dec_attn_{level}_{i}"] = _attnblock(
+                    sd, f"output_blocks.{idx}.{layer}",
+                )
+                layer += 1
+            if level and i == num_res_blocks:
+                if resblock_updown:
+                    params[f"up_{level}"] = _resblock(
+                        sd, f"output_blocks.{idx}.{layer}", has_skip=False,
+                    )
+                else:
+                    params[f"up_{level}"] = {
+                        "conv": {
+                            "kernel": _conv_kernel(
+                                sd(f"output_blocks.{idx}.{layer}.conv.weight"),
+                            ),
+                            "bias": sd(f"output_blocks.{idx}.{layer}.conv.bias"),
+                        },
+                    }
+                ds //= 2
+            idx += 1
+
+    params["norm_out"] = _groupnorm(sd, "out.0")
+    params["conv_out"] = {
+        "kernel": _conv_kernel(sd("out.2.weight")),
+        "bias": sd("out.2.bias"),
+    }
+
+    leftover = sd.unused()
+    if strict and leftover:
+        raise ValueError(f"unconsumed reference weights: {leftover[:10]}...")
+    return params

@@ -1,0 +1,218 @@
+"""Numerical parity against the actual PyTorch reference (the BASELINE.md
+north star: field MSE < 1e-4).
+
+Loads the reference's torch-only modules straight from /root/reference
+(registry/layers/common/conditioning/unet_v2/schedule — the pipeline layer
+needs lightning/diffusers which aren't installed), transplants randomly
+initialised reference UNetv2 weights into our flax UNet, and compares:
+
+* schedule coefficient tables,
+* sinusoidal timestep embeddings,
+* sha512 hash conditioning embeddings,
+* full UNetv2 forward passes (2D and 3D, with conditioning),
+* a multi-step DDPM reverse rollout with shared noise.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from rho_diffusion_tpu.diffusion.ddpm import ddpm_reverse_step  # noqa: E402
+from rho_diffusion_tpu.diffusion.schedule import (  # noqa: E402
+    CosineBetaSchedule,
+    LinearSchedule,
+)
+from rho_diffusion_tpu.interop import (  # noqa: E402
+    load_reference_modules,
+    transplant_unet_state_dict,
+)
+from rho_diffusion_tpu.models import MultiEmbeddings, UNet  # noqa: E402
+from rho_diffusion_tpu.ops.embeddings import sinusoidal_position_embedding  # noqa: E402
+from rho_diffusion_tpu.utils import calculate_sha512_embedding  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference_modules()
+
+
+def test_linear_schedule_tables_match(ref):
+    theirs = ref["schedule"].LinearSchedule(100, 1e-4, 0.02)
+    ours = LinearSchedule(100, 1e-4, 0.02)
+    for key in ("beta_t", "alpha_t", "alpha_bar_t", "sigma_t"):
+        a = np.asarray(getattr(ours, key))
+        b = getattr(theirs, key).numpy()
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=5e-7, err_msg=key)
+
+
+def test_cosine_schedule_tables_match(ref):
+    """Ours drops the reference's degenerate leading beta (an off-by-one
+    producing a (T+1)-long table, schedule.py:185-206): our beta[i] equals
+    the reference's beta[i+1]."""
+    theirs = ref["schedule"].CosineBetaSchedule(100)
+    ours = CosineBetaSchedule(100)
+    np.testing.assert_allclose(
+        np.asarray(ours.beta_t), theirs.beta_t.numpy()[1:], rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_sinusoidal_embedding_matches(ref):
+    t = np.array([0, 1, 7, 500, 999])
+    theirs = ref["common"].sinosoidal_position_embedding(
+        torch.tensor(t), 128,
+    ).numpy()
+    ours = np.asarray(sinusoidal_position_embedding(jnp.asarray(t), 128))
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_sha512_embedding_matches(ref):
+    for d in ({"l": 3, "m": -2}, {"m": 1, "s": 0.5, "t": 400, "c": 0}):
+        theirs = ref["utils"].calculate_sha512_embedding(d, l=256).numpy()
+        ours = calculate_sha512_embedding(d, l=256)
+        np.testing.assert_array_equal(ours, theirs)
+
+
+def _build_pair(ref, dims, spatial, space=None):
+    """Build reference torch UNetv2 + our flax UNet with identical
+    (transplanted) weights."""
+    torch.manual_seed(0)
+    mc, mult, attn, heads, nrb = 32, (1, 2), [2], 2, 1
+    cond_t = None
+    cond_j = None
+    num_classes = None
+    if space is not None:
+        num_classes = 20
+        cond_t = ref["conditioning"].MultiEmbeddings(
+            parameter_space=space, embedding_dim=4 * mc,
+        )
+        cond_j = MultiEmbeddings(parameter_space=space, embedding_dim=4 * mc)
+
+    t_model = ref["unet_v2"].UNet(
+        data_shape=list(spatial),
+        in_channels=1,
+        model_channels=mc,
+        out_channels=1,
+        num_res_blocks=nrb,
+        attention_resolutions=attn,
+        channel_mult=mult,
+        dims=dims,
+        num_classes=num_classes,
+        cond_fn=cond_t,
+        num_heads=heads,
+        use_scale_shift_norm=True,
+    ).eval()
+    # include cond_fn params in the state dict namespace used by transplant
+    sd = t_model.state_dict()
+    if cond_t is not None:
+        sd = {**sd, **{f"cond_fn.{k}": v for k, v in cond_t.state_dict().items()
+                       if f"cond_fn.{k}" not in sd}}
+
+    j_model = UNet(
+        data_shape=spatial,
+        in_channels=1,
+        out_channels=1,
+        model_channels=mc,
+        num_res_blocks=nrb,
+        attention_resolutions=attn,
+        channel_mult=mult,
+        dims=dims,
+        num_classes=num_classes,
+        cond_fn=cond_j,
+        num_heads=heads,
+        use_scale_shift_norm=True,
+    )
+    params = transplant_unet_state_dict(
+        sd, model_channels=mc, num_res_blocks=nrb, channel_mult=mult,
+        attention_resolutions=attn,
+    )
+    return t_model, j_model, params
+
+
+@pytest.mark.parametrize("dims,spatial", [(2, (8, 8)), (3, (4, 8, 8))])
+def test_unet_forward_field_mse(ref, dims, spatial):
+    """Transplanted-weight forward parity: field MSE << 1e-4."""
+    t_model, j_model, params = _build_pair(ref, dims, spatial)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, *spatial, 1)).astype(np.float32)
+    t = np.array([3, 47])
+
+    with torch.no_grad():
+        x_t = torch.tensor(np.moveaxis(x, -1, 1))
+        out_t = t_model(x_t, torch.tensor(t)).numpy()
+    out_t = np.moveaxis(out_t, 1, -1)
+
+    out_j = np.asarray(
+        j_model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t)),
+    )
+    mse = float(np.mean((out_t - out_j) ** 2))
+    assert mse < 1e-10, f"field MSE {mse}"
+
+
+def test_unet_forward_conditioned_field_mse(ref):
+    """Both conditioning modalities against the reference: raw parameter
+    rows (MultiEmbeddings) and precomputed hash embeddings."""
+    space = {"l": [0, 1, 2], "m": [-1, 0, 1]}
+    t_model, j_model, params = _build_pair(ref, 2, (8, 8), space=space)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 8, 8, 1)).astype(np.float32)
+    t = np.array([5, 20])
+
+    for y in (
+        np.array([[0.0, -1.0], [2.0, 1.0]], np.float32),  # raw rows
+        rng.normal(size=(2, 128)).astype(np.float32),      # hash-style
+    ):
+        with torch.no_grad():
+            out_t = t_model(
+                torch.tensor(np.moveaxis(x, -1, 1)),
+                torch.tensor(t),
+                torch.tensor(y),
+            ).numpy()
+        out_t = np.moveaxis(out_t, 1, -1)
+        out_j = np.asarray(
+            j_model.apply(
+                {"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(y),
+            ),
+        )
+        mse = float(np.mean((out_t - out_j) ** 2))
+        assert mse < 1e-10, f"field MSE {mse} for labels {y.shape}"
+
+
+def test_ddpm_rollout_field_mse(ref):
+    """10 reverse steps with shared noise: the torch side uses the
+    reference's own schedule tables and update (ddpm.py:211-218), ours uses
+    ddpm_reverse_step — final fields must agree to < 1e-4 MSE."""
+    t_model, j_model, params = _build_pair(ref, 2, (8, 8))
+    T = 50
+    sch_ref = ref["schedule"].LinearSchedule(T)
+    sch_ours = LinearSchedule(T)
+    rng = np.random.default_rng(2)
+    x0 = rng.normal(size=(2, 8, 8, 1)).astype(np.float32)
+    zs = rng.normal(size=(10, *x0.shape)).astype(np.float32)
+
+    x_t_torch = torch.tensor(np.moveaxis(x0, -1, 1))
+    x_t_jax = jnp.asarray(x0)
+    beta = sch_ref.beta_t
+    alpha = sch_ref.alpha_t
+    abar = sch_ref.alpha_bar_t
+    for i, t in enumerate(range(T - 1, T - 11, -1)):
+        tt = torch.tensor([t, t])
+        with torch.no_grad():
+            eps_t = t_model(x_t_torch, tt)
+        z = torch.tensor(np.moveaxis(zs[i], -1, 1))
+        x_t_torch = (
+            x_t_torch - beta[t] / torch.sqrt(1 - abar[t]) * eps_t
+        ) / torch.sqrt(alpha[t]) + 0.8 * torch.sqrt(beta[t]) * z
+        x_t_torch = torch.clamp(x_t_torch, -1, 1)
+
+        tt_j = jnp.asarray([t, t])
+        eps_j = j_model.apply({"params": params}, x_t_jax, tt_j)
+        x_t_jax = ddpm_reverse_step(
+            sch_ours, x_t_jax, eps_j, tt_j, jnp.asarray(zs[i]),
+        )
+
+    final_t = np.moveaxis(x_t_torch.numpy(), 1, -1)
+    mse = float(np.mean((final_t - np.asarray(x_t_jax)) ** 2))
+    assert mse < 1e-4, f"rollout field MSE {mse}"
