@@ -19,6 +19,7 @@ from rho_diffusion_tpu.registry import registry  # noqa: F401
 # Populate the registry: importing these modules registers every component.
 from rho_diffusion_tpu.ops import activations as _activations  # noqa: F401
 from rho_diffusion_tpu.ops import embeddings as _embeddings  # noqa: F401
+from rho_diffusion_tpu.metrics import geom as _geom  # noqa: F401
 from rho_diffusion_tpu.metrics import losses as _losses  # noqa: F401
 from rho_diffusion_tpu.training import optimizers as _optimizers  # noqa: F401
 from rho_diffusion_tpu.diffusion import schedule as _schedule  # noqa: F401

@@ -4,3 +4,4 @@ from rho_diffusion_tpu.metrics.losses import (  # noqa: F401
     psnr,
     resolve_loss,
 )
+from rho_diffusion_tpu.metrics.geom import WassersteinWrapper, sinkhorn_divergence  # noqa: F401

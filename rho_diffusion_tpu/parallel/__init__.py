@@ -8,3 +8,7 @@ from rho_diffusion_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from rho_diffusion_tpu.parallel.context import (  # noqa: F401
+    context_sharded_attention,
+    ring_attention,
+)

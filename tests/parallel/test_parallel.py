@@ -1,0 +1,78 @@
+"""Mesh / sharding / ring-attention tests on the 8-device virtual CPU
+platform — the multi-device test story the reference lacked entirely
+(its DDP was only exercised manually via mpiexec; SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rho_diffusion_tpu.ops.attention import xla_attention
+from rho_diffusion_tpu.parallel import batch_sharding, make_mesh, shard_batch
+from rho_diffusion_tpu.parallel.context import context_sharded_attention
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data", "context")
+    mesh2 = make_mesh(data=4, context=2)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["context"] == 2
+    with pytest.raises(AssertionError):
+        make_mesh(data=3, context=2)
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = make_mesh()
+    batch = {"data": np.ones((16, 4, 4, 1), np.float32), "labels": None}
+    out = shard_batch(batch, mesh)
+    sh = out["data"].sharding
+    assert sh.spec[0] == "data"
+    assert out["labels"] is None
+
+
+def test_data_parallel_mean_matches_single_device():
+    """A jitted global-mean over a sharded batch equals the local compute —
+    the gradient-psum correctness primitive."""
+    mesh = make_mesh()
+    x = np.random.default_rng(0).normal(size=(16, 8)).astype(np.float32)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got = jax.jit(lambda a: jnp.mean(a * a))(xs)
+    np.testing.assert_allclose(float(got), float(np.mean(x * x)), rtol=1e-6)
+
+
+def test_ring_attention_matches_full_attention():
+    """Exact ring attention over a context=8 mesh == single-device full
+    softmax attention."""
+    mesh = make_mesh(data=1, context=8)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (2, 64, 2, 16)) for kk in keys)
+    ref = xla_attention(q, k, v)
+    out = context_sharded_attention(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_attention_context4_data2():
+    """Mixed mesh: batch on data axis, tokens on context axis."""
+    mesh = make_mesh(data=2, context=4)
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (jax.random.normal(kk, (4, 32, 2, 8)) for kk in keys)
+    ref = xla_attention(q, k, v)
+    out = context_sharded_attention(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_attention_grads_flow():
+    mesh = make_mesh(data=1, context=8)
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    q, k, v = (jax.random.normal(kk, (1, 64, 2, 8)) for kk in keys)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(context_sharded_attention(q, k, v, mesh) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
