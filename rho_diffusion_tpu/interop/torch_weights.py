@@ -47,9 +47,17 @@ def load_reference_modules(root: Path = REFERENCE_ROOT) -> dict[str, Any]:
     # stub heavy optional deps the target modules import at module level
     def _permissive_stub(name: str) -> types.ModuleType:
         stub = types.ModuleType(name)
-        # PEP 562 module __getattr__: any attribute resolves to a no-op
-        # callable, so `from torchvision.utils import save_image` etc. work.
-        stub.__getattr__ = lambda attr: (lambda *a, **kw: None)
+
+        # PEP 562 module __getattr__: any NON-dunder attribute resolves to a
+        # no-op callable, so `from torchvision.utils import save_image` etc.
+        # work. Dunders raise normally — tooling that introspects sys.modules
+        # (e.g. hypothesis's constant scanner) must see a sane module.
+        def _getattr(attr, _name=name):
+            if attr.startswith("__") and attr.endswith("__"):
+                raise AttributeError(f"module '{_name}' has no attribute '{attr}'")
+            return lambda *a, **kw: None
+
+        stub.__getattr__ = _getattr
         return stub
 
     for stub_name in ("torchvision", "torchvision.transforms",
