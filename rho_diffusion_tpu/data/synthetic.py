@@ -102,6 +102,7 @@ class SphericalHarmonicDataset(MultiVariateDataset):
         length: int = 1000,
         random_seed: Optional[int] = None,
         use_emb_as_labels: bool = True,
+        use_native: bool = False,
         **grid_kwargs,
     ) -> None:
         assert max_l and max_l > 0, f"invalid max_l: {max_l}"
@@ -122,6 +123,11 @@ class SphericalHarmonicDataset(MultiVariateDataset):
         self.grid_kwargs = grid_kwargs
         self.length = length
         self.use_emb_as_labels = use_emb_as_labels
+        # opt-in C++ generator (~2-3x faster per field; see
+        # rho_diffusion_tpu/native — the reference's complex min-max
+        # normalisation is tie-sensitive, so native and scipy fields can
+        # differ for symmetric (l, m); both are valid normalisations.
+        self.use_native = use_native
         if random_seed is None:
             random_seed = int(os.getenv("RHO_GLOBAL_SEED", os.getenv("PL_GLOBAL_SEED", 1616)))
         self.random_seed = random_seed
@@ -168,7 +174,15 @@ class SphericalHarmonicDataset(MultiVariateDataset):
         else:
             l, m = self.random_set()  # noqa: E741
             grid = {k: self.grid_kwargs[k] for k in ("x", "y", "z")}
-            _, density, _ = compute_spherical_harmonic(**grid, m=m, l=l)
+            density = None
+            if self.use_native:
+                from rho_diffusion_tpu.native import ylm_field_native
+
+                density = ylm_field_native(
+                    grid["x"], grid["y"], grid["z"], m=m, l=l,
+                )
+            if density is None:
+                _, density, _ = compute_spherical_harmonic(**grid, m=m, l=l)
         field = Density(density.astype(np.float32)[..., None])  # channels-last
         return field, self._label(l, m)
 
