@@ -59,3 +59,19 @@ class Density(np.ndarray):
             return self
         out = Density(np.asarray(self) / total, coords=self.coords)
         return out
+
+    def marginalize(self, axis: int | tuple) -> "Density":
+        """Marginal density over the given axes (the reference declared this
+        but left it a stub, base.py:115-126)."""
+        return Density(np.sum(np.asarray(self), axis=axis))
+
+    def sample(self, n: int, rng: np.random.Generator | None = None) -> np.ndarray:
+        """Draw ``n`` grid indices distributed according to the density
+        (reference stub at base.py:128-137). Returns [n, ndim] index rows."""
+        rng = rng or np.random.default_rng()
+        p = np.abs(np.asarray(self, dtype=np.float64)).ravel()
+        total = p.sum()
+        if total <= 0:
+            raise ValueError("cannot sample from an all-zero density")
+        flat = rng.choice(p.size, size=n, p=p / total)
+        return np.stack(np.unravel_index(flat, self.shape), axis=1)

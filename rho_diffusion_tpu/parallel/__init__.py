@@ -12,3 +12,10 @@ from rho_diffusion_tpu.parallel.context import (  # noqa: F401
     context_sharded_attention,
     ring_attention,
 )
+from rho_diffusion_tpu.parallel.runtime import (  # noqa: F401
+    accelerator_available,
+    barrier,
+    get_device_stats,
+    parse_devices,
+    runtime_summary,
+)

@@ -1,0 +1,68 @@
+"""Accelerator runtime introspection — the TPU-native analogue of the
+reference's XPUAccelerator surface (/root/reference/rho_diffusion/xpu.py:
+140-242: device parsing, setup/teardown, memory stats, availability probe).
+
+Under jax there is no device placement to manage (jit + shardings own
+placement), so what remains is introspection: device inventory, memory
+stats, availability checks, and a cross-process barrier.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def accelerator_available(platform: str = "tpu") -> bool:
+    """Availability probe (reference xpu.py:218-230)."""
+    try:
+        return any(d.platform == platform for d in jax.devices())
+    except RuntimeError:
+        return False
+
+
+def parse_devices(devices: Any = None) -> list:
+    """Device-spec parsing (reference xpu.py:147-164): None/-1 -> all,
+    int n -> first n, list of ids -> those ids."""
+    all_devices = jax.devices()
+    if devices is None or devices == -1:
+        return all_devices
+    if isinstance(devices, int):
+        return all_devices[:devices]
+    return [all_devices[i] for i in devices]
+
+
+def get_device_stats(device: Optional[Any] = None) -> dict:
+    """Per-device memory statistics (reference xpu.py:190-191 exposed
+    torch.xpu.memory_stats)."""
+    device = device or jax.devices()[0]
+    stats = device.memory_stats() or {}
+    return {
+        "platform": device.platform,
+        "device_kind": device.device_kind,
+        "bytes_in_use": stats.get("bytes_in_use"),
+        "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+        "bytes_limit": stats.get("bytes_limit"),
+    }
+
+
+def barrier(name: str = "rho_barrier") -> None:
+    """Cross-process synchronisation (reference setup used explicit dummy
+    collectives as barriers, xpu.py:374-393; here one tiny psum)."""
+    if jax.process_count() == 1:
+        return
+    x = jnp.ones((jax.local_device_count(),))
+    jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x).block_until_ready()
+
+
+def runtime_summary() -> dict:
+    return {
+        "backend": jax.default_backend(),
+        "device_count": jax.device_count(),
+        "local_device_count": jax.local_device_count(),
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "devices": [str(d) for d in jax.devices()],
+    }

@@ -76,3 +76,34 @@ def test_ring_attention_grads_flow():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_runtime_introspection():
+    from rho_diffusion_tpu.parallel import (
+        accelerator_available,
+        get_device_stats,
+        parse_devices,
+        runtime_summary,
+    )
+
+    assert accelerator_available("cpu")
+    assert not accelerator_available("nope")
+    assert len(parse_devices()) == 8
+    assert len(parse_devices(2)) == 2
+    assert len(parse_devices([0, 3])) == 2
+    info = runtime_summary()
+    assert info["device_count"] == 8 and info["process_count"] == 1
+    stats = get_device_stats()
+    assert stats["platform"] == "cpu"
+
+
+def test_density_marginalize_and_sample():
+    from rho_diffusion_tpu.data import Density
+
+    d = Density(np.ones((4, 4, 4)) / 64.0)
+    marg = d.marginalize(axis=2)
+    assert marg.shape == (4, 4)
+    np.testing.assert_allclose(np.asarray(marg).sum(), 1.0, rtol=1e-6)
+    idx = d.sample(100, rng=np.random.default_rng(0))
+    assert idx.shape == (100, 3)
+    assert idx.min() >= 0 and idx.max() < 4
