@@ -14,7 +14,9 @@ the repo (1.0 on the first round).
 Env knobs:
     BENCH_STEPS (default 10), BENCH_WARMUP (3), BENCH_BATCH (32),
     BENCH_DTYPE (bfloat16|float32, default bfloat16),
-    BENCH_GRID (32), BENCH_SMOKE=1 for a tiny CPU-runnable smoke.
+    BENCH_GRID (32), BENCH_SMOKE=1 for a tiny CPU-runnable smoke,
+    BENCH_MODE=train|sample (sample: DDIM-50 full-volume generation
+    wall-clock with EMA weights, the BASELINE.md secondary metric).
 """
 from __future__ import annotations
 
@@ -45,6 +47,60 @@ def _previous_bench_value() -> float | None:
     return best[1] if best else None
 
 
+def _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke) -> None:
+    """DDIM-50 full-volume generation wall-clock with EMA-style weights."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rho_diffusion_tpu.diffusion import GaussianDiffusionPipeline, LinearSchedule
+
+    steps = int(os.environ.get("BENCH_DDIM_STEPS", 10 if smoke else 50))
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=backbone_kwargs,
+        schedule=LinearSchedule(100 if smoke else 1000),
+        model_mean_type="epsilon",
+        model_var_type="fixed_large",
+        optimizer="AdamW",
+    )
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    n = min(batch, 8)
+    conds = jnp.zeros((n, 4 * mc), jnp.float32)
+
+    def sample(rng):
+        return pipe.reverse_process(
+            params, rng, pipe.sample_shape(n), conds,
+            sampler="ddim", num_steps=steps,
+        )
+
+    fn = jax.jit(sample)
+    out = fn(jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(jax.random.PRNGKey(i))
+    jax.block_until_ready(out)
+    wall = (time.perf_counter() - t0) / iters
+    finite = bool(np.isfinite(np.asarray(out)).all())
+    prev = _previous_bench_value()
+    result = {
+        "metric": f"ddim{steps}_sample_wall_clock_{grid}cubed_b{n}",
+        "value": round(wall, 4),
+        "unit": "seconds",
+        "vs_baseline": round(prev / wall, 4) if prev else 1.0,
+    }
+    print(
+        f"backend={jax.default_backend()} dtype={dtype_name} n={n} "
+        f"grid={grid} ddim_steps={steps} finite={finite}",
+        file=sys.stderr,
+    )
+    print(json.dumps(result))
+
+
 def main() -> None:
     # persistent compile cache: the tunneled-TPU remote compile of the 3D
     # UNet takes minutes cold; cached reruns are seconds.
@@ -69,22 +125,29 @@ def main() -> None:
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     mc = 16 if smoke else 64
 
+    mode = os.environ.get("BENCH_MODE", "train")
+    backbone_kwargs = dict(
+        data_shape=(grid,) * 3,
+        dims=3,
+        in_channels=1,
+        out_channels=1,
+        model_channels=mc,
+        num_res_blocks=2,
+        channel_mult=(1, 2) if smoke else (1, 2, 4, 8),
+        attention_resolutions=[16, 8],
+        num_heads=4,
+        num_classes=20,
+        use_scale_shift_norm=True,
+        dtype=dtype,
+    )
+
+    if mode == "sample":
+        _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke)
+        return
+
     pipe = DDPM(
         backbone="UNetv2",
-        backbone_kwargs=dict(
-            data_shape=(grid,) * 3,
-            dims=3,
-            in_channels=1,
-            out_channels=1,
-            model_channels=mc,
-            num_res_blocks=2,
-            channel_mult=(1, 2) if smoke else (1, 2, 4, 8),
-            attention_resolutions=[16, 8],
-            num_heads=4,
-            num_classes=20,
-            use_scale_shift_norm=True,
-            dtype=dtype,
-        ),
+        backbone_kwargs=backbone_kwargs,
         schedule=LinearSchedule(1000),
         optimizer="AdamW",
         opt_kwargs={"lr": 1e-4},

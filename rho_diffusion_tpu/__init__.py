@@ -25,6 +25,7 @@ from rho_diffusion_tpu.training import optimizers as _optimizers  # noqa: F401
 from rho_diffusion_tpu.diffusion import schedule as _schedule  # noqa: F401
 from rho_diffusion_tpu.models import conditioning as _conditioning  # noqa: F401
 from rho_diffusion_tpu.models import unet as _unet  # noqa: F401
+from rho_diffusion_tpu.models import unet_diffusers_compat as _unet_dc  # noqa: F401
 from rho_diffusion_tpu.models import unet_simple as _unet_simple  # noqa: F401
 from rho_diffusion_tpu.models import vit as _vit  # noqa: F401
 from rho_diffusion_tpu.data import deep_galaxy as _deep_galaxy  # noqa: F401

@@ -2,3 +2,4 @@ from rho_diffusion_tpu.models.conditioning import ClassifierGuidance, MultiEmbed
 from rho_diffusion_tpu.models.unet import UNet  # noqa: F401
 from rho_diffusion_tpu.models.unet_simple import SimpleUNet, UNetBlock  # noqa: F401
 from rho_diffusion_tpu.models.vit import VisionTransformer, ViTBlock  # noqa: F401
+from rho_diffusion_tpu.models.unet_diffusers_compat import UNetDiffuser  # noqa: F401

@@ -57,3 +57,20 @@ def test_simple_unet_forward(block_type, dims):
 
 def test_simple_unet_registered_as_UNet():
     assert registry.get("models", "UNet") is SimpleUNet
+
+
+def test_unet_diffuser_shim():
+    """UNet_Diffuser parity shim: 2D fixed-architecture wrapper."""
+    import jax
+    import jax.numpy as jnp
+
+    from rho_diffusion_tpu.models import UNetDiffuser
+
+    cls = registry.get("models", "UNet_Diffuser")
+    assert cls is UNetDiffuser
+    m = cls(data_shape=(8, 8), in_channels=1, num_res_blocks=1)
+    x = jnp.ones((2, 8, 8, 1))
+    t = jnp.array([0, 1])
+    params = m.init(jax.random.PRNGKey(0), x, t)["params"]
+    out = m.apply({"params": params}, x, t)
+    assert out.shape == (2, 8, 8, 1)
