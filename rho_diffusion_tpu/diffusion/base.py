@@ -235,11 +235,13 @@ class AbstractDiffusionPipeline:
     # Sampling helpers
     # ------------------------------------------------------------------
     def sample_shape(self, batch_size: int) -> tuple[int, ...]:
-        """[B, *data_shape, out_channels] — built from backbone kwargs like
-        the reference (ddpm.py:319-340), but channels-last."""
+        """[B, *data_shape, C] — built from backbone kwargs like the
+        reference (ddpm.py:319-340), but channels-last and using
+        in_channels: learned-variance models emit out_channels = 2*C while
+        the data (and x_t) stay C-channelled."""
         bk = self.backbone_kwargs
         data_shape = tuple(bk["data_shape"])
-        channels = bk.get("out_channels", bk.get("in_channels", 1))
+        channels = bk.get("in_channels", bk.get("out_channels", 1))
         return (batch_size, *data_shape, channels)
 
     def conditions_from_parameter_space(

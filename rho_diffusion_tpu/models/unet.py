@@ -202,6 +202,20 @@ class UNet(nn.Module):
         heads_up = (
             self.num_heads if self.num_heads_upsample == -1 else self.num_heads_upsample
         )
+        # warn when deep levels collapse below the conv kernel: gradients of
+        # 3x3x3 convs over (N, 1, 1) volumes are a known trouble spot on
+        # experimental TPU backends, and such configs waste the deep levels
+        # anyway (data_shape too small for this channel_mult depth)
+        min_inner = min(self.data_shape[-2:]) if self.dims >= 2 else self.data_shape[0]
+        if min_inner // (2 ** (len(self.channel_mult) - 1)) < 3:
+            import warnings
+
+            warnings.warn(
+                f"data_shape {tuple(self.data_shape)} shrinks below the 3x3 "
+                f"kernel after {len(self.channel_mult) - 1} downsamplings; "
+                f"reduce channel_mult depth or enlarge the grid",
+                stacklevel=2,
+            )
         embedding_dim = self.model_channels * 4
 
         res_block = ResBlock

@@ -1,0 +1,125 @@
+"""GaussianDiffusionPipeline / DiffusersDDPMPipeline driven with a real
+backbone: training steps (incl. learned-range variance + VLB term), DDIM
+respaced sampling, and bits-per-dim evaluation."""
+import jax
+import numpy as np
+import pytest
+
+from rho_diffusion_tpu.diffusion import (
+    GaussianDiffusionPipeline,
+    LinearSchedule,
+    LossType,
+    ModelMeanType,
+    ModelVarType,
+)
+from rho_diffusion_tpu.diffusion.diffusers_compat import DiffusersDDPMPipeline
+
+
+def _backbone_kwargs(out_channels=1):
+    return dict(
+        data_shape=(8, 8),
+        dims=2,
+        in_channels=1,
+        out_channels=out_channels,
+        model_channels=8,
+        num_res_blocks=1,
+        channel_mult=(1, 2),
+        attention_resolutions=[],
+        num_heads=1,
+    )
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    return {
+        "data": rng.uniform(-1, 1, (4, 8, 8, 1)).astype(np.float32),
+        "labels": None,
+    }
+
+
+def test_epsilon_fixed_large_trains_and_samples(batch):
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        model_var_type="fixed_large",
+        optimizer="AdamW",
+        opt_kwargs={"lr": 1e-3},
+    )
+    state = pipe.create_state(jax.random.PRNGKey(0))
+    for _ in range(2):
+        state, m = pipe.training_step(state, batch)
+    assert np.isfinite(float(m["train_loss"]))
+
+    out = pipe.reverse_process(
+        state.params, jax.random.PRNGKey(1), (2, 8, 8, 1), None,
+        sampler="ddim", num_steps=5,
+    )
+    assert out.shape == (2, 8, 8, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_learned_range_vlb_training(batch):
+    """Learned-range variance: backbone emits 2C channels; loss carries a
+    vb term (reference gaussian_diffusion.py:895-917)."""
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(out_channels=2),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type=ModelMeanType.EPSILON,
+        model_var_type=ModelVarType.LEARNED_RANGE,
+        loss_type=LossType.RESCALED_MSE,
+        optimizer="AdamW",
+    )
+    state = pipe.create_state(jax.random.PRNGKey(0))
+    state, m = pipe.training_step(state, batch)
+    assert "vb" in m and np.isfinite(float(m["vb"]))
+    assert np.isfinite(float(m["train_loss"]))
+    # sampling splits the variance channels
+    out = pipe.reverse_process(
+        state.params, jax.random.PRNGKey(1), (2, 8, 8, 1), None,
+        sampler="ddpm", num_steps=5,
+    )
+    assert out.shape == (2, 8, 8, 1)
+
+
+def test_bpd_evaluation(batch):
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(10, 1e-4, 5e-3),
+        model_mean_type="epsilon",
+        model_var_type="fixed_small",
+    )
+    state = pipe.create_state(jax.random.PRNGKey(0))
+    out = pipe.calc_bpd(
+        state.params, jax.numpy.asarray(batch["data"][:2]), jax.random.PRNGKey(1),
+    )
+    assert out["total_bpd"].shape == (2,)
+    assert np.isfinite(np.asarray(out["total_bpd"])).all()
+
+
+def test_diffusers_compat_pipeline(batch):
+    """Grad-clip 1.0 + squaredcos betas + epsilon target
+    (reference diffusers.py:106-146)."""
+    pipe = DiffusersDDPMPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        timesteps=20,
+        optimizer="AdamW",
+        opt_kwargs={"lr": 1e-3},
+    )
+    assert pipe.coeffs.num_timesteps == 20
+    state = pipe.create_state(jax.random.PRNGKey(0))
+    state, m = pipe.training_step(state, batch)
+    assert np.isfinite(float(m["train_loss"]))
+    # sample-prediction variant
+    pipe2 = DiffusersDDPMPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        timesteps=20,
+        prediction_type="sample",
+    )
+    assert pipe2.model_mean_type == ModelMeanType.START_X
