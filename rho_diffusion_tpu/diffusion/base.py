@@ -121,6 +121,7 @@ class AbstractDiffusionPipeline:
             self.tx = optimizer  # a ready optax.GradientTransformation
 
         self._train_step = None
+        self._val_step = None
 
     # ------------------------------------------------------------------
     # Parameter / state management
@@ -230,6 +231,19 @@ class AbstractDiffusionPipeline:
         ddpm.py:231-288)."""
         batch = normalize_batch(batch)
         return self.train_step(state, batch)
+
+    def validation_step(self, state: TrainState, batch, rng=None):
+        """Evaluate the training loss/metrics without updating parameters.
+        The reference's validation_step was a stub returning 0
+        (ddpm.py:367-371); this one actually evaluates."""
+        batch = normalize_batch(batch)
+        rng = rng if rng is not None else jax.random.fold_in(state.rng, 1)
+        if self._val_step is None:
+            self._val_step = jax.jit(
+                lambda params, b, r: self.loss_and_metrics(params, b, r),
+            )
+        loss, metrics = self._val_step(state.params, batch, rng)
+        return metrics
 
     # ------------------------------------------------------------------
     # Sampling helpers

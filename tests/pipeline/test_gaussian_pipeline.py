@@ -123,3 +123,19 @@ def test_diffusers_compat_pipeline(batch):
         prediction_type="sample",
     )
     assert pipe2.model_mean_type == ModelMeanType.START_X
+
+
+def test_validation_step(batch):
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        model_var_type="fixed_large",
+    )
+    state = pipe.create_state(jax.random.PRNGKey(0))
+    m = pipe.validation_step(state, batch)
+    assert np.isfinite(float(m["train_loss"]))
+    # params untouched
+    m2 = pipe.validation_step(state, batch)
+    np.testing.assert_allclose(float(m["train_loss"]), float(m2["train_loss"]))
