@@ -122,6 +122,9 @@ class AbstractDiffusionPipeline:
 
         self._train_step = None
         self._val_step = None
+        # per-(shape, options) cache of jitted samplers so epoch-end
+        # generation doesn't re-trace every call
+        self._sampler_cache: dict = {}
 
     # ------------------------------------------------------------------
     # Parameter / state management

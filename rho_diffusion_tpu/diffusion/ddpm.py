@@ -216,9 +216,17 @@ class DDPM(AbstractDiffusionPipeline):
             )
         else:
             conditions = self.coerce_conditions(conditions, batch_size, rng)
-        return self.reverse_process(
-            params, rng, shape, conditions, t_checkpoints=self.t_checkpoints,
-        )
+        # cache the jitted sampler per (shape, conditioning) so repeated
+        # epoch-end generation doesn't re-trace the T-step scan
+        key = ("ddpm", shape, conditions is not None,
+               len(self.t_checkpoints) if self.t_checkpoints is not None else 0)
+        if key not in self._sampler_cache:
+            self._sampler_cache[key] = jax.jit(
+                lambda p, r, c: self.reverse_process(
+                    p, r, shape, c, t_checkpoints=self.t_checkpoints,
+                ),
+            )
+        return self._sampler_cache[key](params, rng, conditions)
 
     def generate(
         self,

@@ -697,10 +697,15 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
             )
         else:
             conditions = self.coerce_conditions(conditions, batch_size, rng)
-        return self.reverse_process(
-            params, rng, shape, conditions, sampler=sampler,
-            num_steps=num_steps, eta=eta,
-        )
+        # jitted-sampler cache keyed by static sampling options
+        key = ("gauss", shape, conditions is not None, sampler, num_steps, eta)
+        if key not in self._sampler_cache:
+            self._sampler_cache[key] = jax.jit(
+                lambda p, r, c: self.reverse_process(
+                    p, r, shape, c, sampler=sampler, num_steps=num_steps, eta=eta,
+                ),
+            )
+        return self._sampler_cache[key](params, rng, conditions)
 
     def calc_bpd(self, params, data, rng, conditions=None, clip_denoised=True):
         """Bits-per-dim evaluation (reference calc_bpd_loop :955-1009)."""
