@@ -19,3 +19,7 @@ from rho_diffusion_tpu.parallel.runtime import (  # noqa: F401
     parse_devices,
     runtime_summary,
 )
+from rho_diffusion_tpu.parallel.tensor import (  # noqa: F401
+    shard_params_for_tp,
+    tp_sharding_summary,
+)
