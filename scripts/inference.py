@@ -88,11 +88,29 @@ def main() -> None:
     state = pipeline.create_state(rng)
     params = state.params
     ckpt = args.model_checkpoint_path or config.inference.checkpoint
+    ckpt_dir = Path(config.training.checkpoint_dir or (args.work_dir / "checkpoints"))
     if ckpt and os.path.isfile(ckpt):
         from rho_diffusion_tpu.training.checkpoint import load_model_weights
 
         params = load_model_weights(params, ckpt)
         print(f"loaded weights from {ckpt}")
+    elif ckpt_dir.exists():
+        # full-state orbax checkpoint: prefer EMA weights for sampling
+        # (config.inference.use_ema; the reference could not do this — it
+        # saved backbone-only state_dicts)
+        from rho_diffusion_tpu.training.checkpoint import CheckpointManager
+
+        cm = CheckpointManager(ckpt_dir)
+        if cm.latest_step() is not None:
+            restored = cm.restore(state)
+            use_ema = config.inference.use_ema and restored.ema_params is not None
+            params = restored.ema_params if use_ema else restored.params
+            print(
+                f"loaded {'EMA ' if use_ema else ''}weights from orbax step "
+                f"{cm.latest_step()}",
+            )
+        else:
+            print(f"WARNING: no checkpoints in {ckpt_dir}; sampling untrained model")
     elif ckpt:
         print(f"WARNING: checkpoint '{ckpt}' not found; sampling untrained model")
 
