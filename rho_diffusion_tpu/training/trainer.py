@@ -143,7 +143,22 @@ class Trainer:
             dataset = ds_cls(**config.dataset.kwargs)
         self.dataset = dataset
 
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            import math
+
+            import jax as _jax
+
+            n_dev = len(_jax.devices())
+            data_size = math.gcd(config.training.batch_size, n_dev)
+            if data_size != n_dev:
+                print(
+                    f"note: batch_size {config.training.batch_size} not "
+                    f"divisible by {n_dev} devices; using a {data_size}-device "
+                    f"data axis",
+                    flush=True,
+                )
+            mesh = make_mesh(data=data_size, devices=_jax.devices()[:data_size])
+        self.mesh = mesh
         self.world_size = self.mesh.devices.size
 
         self.loader = DataLoader(
