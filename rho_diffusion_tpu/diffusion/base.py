@@ -17,8 +17,6 @@ Subclasses implement the noising/denoising math (DDPM, GaussianDiffusion).
 """
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Any, Callable, Mapping, Optional, Union
 
 import jax
@@ -32,7 +30,6 @@ from rho_diffusion_tpu.training.ema import ema_update
 from rho_diffusion_tpu.training.optimizers import build_optimizer
 from rho_diffusion_tpu.training.state import TrainState, create_train_state
 from rho_diffusion_tpu.utils import (
-    discrete_parameter_combinations,
     parameter_space_to_embeddings,
     sample_from_discrete_parameter_space,
 )

@@ -17,7 +17,6 @@ Functional core:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional
 
 import jax

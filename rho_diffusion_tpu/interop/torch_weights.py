@@ -116,6 +116,16 @@ def _dense_from_conv1x1(w: np.ndarray) -> np.ndarray:
     return np.transpose(w.reshape(w.shape[0], w.shape[1]), (1, 0))
 
 
+def load_torch_checkpoint(path, **transplant_kwargs) -> dict:
+    """Load a reference ``model.pth`` backbone state_dict (saved via
+    torch.save(state_dict), reference utils.py:166-167) and transplant it
+    into a flax params tree. Requires torch."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return transplant_unet_state_dict(sd, **transplant_kwargs)
+
+
 class _SD:
     """state_dict accessor tracking consumed keys."""
 

@@ -20,11 +20,10 @@ variant can replace the inner block later without changing this interface.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from rho_diffusion_tpu.parallel.mesh import CONTEXT_AXIS
 

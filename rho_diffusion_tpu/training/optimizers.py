@@ -13,7 +13,7 @@ steps_per_epoch at trainer-construction time.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import optax
 

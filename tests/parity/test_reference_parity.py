@@ -216,3 +216,25 @@ def test_ddpm_rollout_field_mse(ref):
     final_t = np.moveaxis(x_t_torch.numpy(), 1, -1)
     mse = float(np.mean((final_t - np.asarray(x_t_jax)) ** 2))
     assert mse < 1e-4, f"rollout field MSE {mse}"
+
+
+def test_load_torch_checkpoint_file(ref, tmp_path):
+    """model.pth round trip: torch.save(state_dict) -> flax params."""
+    t_model, j_model, params = _build_pair(ref, 2, (8, 8))
+    path = tmp_path / "model.pth"
+    torch.save(t_model.state_dict(), path)
+
+    from rho_diffusion_tpu.interop import load_torch_checkpoint
+
+    params2 = load_torch_checkpoint(
+        path, model_channels=32, num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions=[2],
+    )
+    import jax
+
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(params2),
+    ):
+        assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
