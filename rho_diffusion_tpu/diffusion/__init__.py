@@ -9,6 +9,7 @@ from rho_diffusion_tpu.diffusion.gaussian import (  # noqa: F401
     calc_bpd_loop,
     coefficients_from_schedule,
     dynamic_threshold,
+    encode_loop,
     respace,
     sample_loop,
     training_losses,

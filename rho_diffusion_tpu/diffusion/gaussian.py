@@ -370,6 +370,29 @@ def ddim_reverse_step(c, model_fn, x, t, mean_type, var_type, clip_denoised=True
     return sample, out["pred_xstart"]
 
 
+def encode_loop(
+    c: GaussianCoefficients,
+    model_fn: Callable,
+    x0: jnp.ndarray,
+    mean_type: ModelMeanType,
+    var_type: ModelVarType,
+    clip_denoised: bool = False,
+):
+    """Deterministic DDIM reverse-ODE encoding x_0 -> x_T as one
+    ``lax.scan`` over t = 0 .. T-1 (the loop the reference implied around
+    ddim_reverse_sample :704-760 but never provided)."""
+
+    def body(x, t):
+        tt = jnp.full((x0.shape[0],), t, jnp.int32)
+        x, _ = ddim_reverse_step(
+            c, model_fn, x, tt, mean_type, var_type, clip_denoised=clip_denoised,
+        )
+        return x, None
+
+    x_T, _ = jax.lax.scan(body, x0, jnp.arange(c.num_timesteps))
+    return x_T
+
+
 def sample_loop(
     c: GaussianCoefficients,
     model_fn: Callable,
@@ -706,6 +729,19 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
                 ),
             )
         return self._sampler_cache[key](params, rng, conditions)
+
+    def encode(self, params, data, conditions=None, num_steps: Optional[int] = None):
+        """Deterministically encode data into DDIM latents (reverse ODE)."""
+        coeffs = self.coeffs
+        if num_steps and num_steps < coeffs.num_timesteps:
+            coeffs = respace(coeffs, num_steps)
+        return encode_loop(
+            coeffs,
+            self._model_fn(params, conditions),
+            data,
+            self.model_mean_type,
+            self.model_var_type,
+        )
 
     def calc_bpd(self, params, data, rng, conditions=None, clip_denoised=True):
         """Bits-per-dim evaluation (reference calc_bpd_loop :955-1009)."""
