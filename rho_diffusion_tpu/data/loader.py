@@ -21,8 +21,21 @@ import numpy as np
 
 
 def default_collate(samples: list) -> dict:
-    """Stack (data, label) tuples into {'data': [B, ...], 'labels': [B, ...]}"""
+    """Stack (data, label) tuples into {'data': [B, ...], 'labels': [B, ...]}.
+
+    Dict samples (e.g. SpectroscopyDataset's {'spectrum', 'params', ...},
+    reference spectroscopy.py:113-140) are stacked key-wise; 'spectrum' maps
+    to 'data' and 'params' to 'labels'."""
     first = samples[0]
+    if isinstance(first, dict):
+        out = {
+            k: np.stack([np.asarray(s[k]) for s in samples]) for k in first
+        }
+        if "data" not in out and "spectrum" in out:
+            out["data"] = out.pop("spectrum")
+        if "labels" not in out:
+            out["labels"] = out.pop("params", None)
+        return out
     if isinstance(first, (tuple, list)):
         data = np.stack([np.asarray(s[0]) for s in samples])
         labels = None

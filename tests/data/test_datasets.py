@@ -246,3 +246,32 @@ def test_loader_worker_threads_match_serial():
     np.testing.assert_array_equal(
         next(iter(dl0))["data"], next(iter(dl4))["data"],
     )
+
+
+def test_spectroscopy_through_loader_and_1d_pipeline(spectro_h5):
+    """Dict samples (spectrum/params) flow through collate into a 1D DDPM
+    training step."""
+    import jax
+
+    from rho_diffusion_tpu.diffusion import DDPM, LinearSchedule
+
+    ds = SpectroscopyDataset(spectro_h5, grid_size=256)
+    dl = DataLoader(ds, batch_size=2, num_workers=0, seed=0, drop_last=False)
+    batch = next(iter(dl))
+    assert batch["data"].shape == (2, 256, 1)
+    assert batch["labels"].shape == (2, 4)
+    assert "max_int" in batch
+
+    pipe = DDPM(
+        backbone="UNetv2",
+        backbone_kwargs=dict(
+            data_shape=(256,), dims=1, in_channels=1, out_channels=1,
+            model_channels=8, num_res_blocks=1, channel_mult=(1, 2),
+            attention_resolutions=[], num_heads=1,
+        ),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        optimizer="AdamW",
+    )
+    state = pipe.create_state(jax.random.PRNGKey(0))
+    state, m = pipe.training_step(state, batch)
+    assert np.isfinite(float(m["train_loss"]))
