@@ -16,11 +16,16 @@ Semantics preserved from the reference:
 """
 from __future__ import annotations
 
-from typing import Sequence
+import os
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+# see Conv3dVia2d below; toggled via env RHO_CONV3D_VIA_2D=1 (read at import)
+CONV3D_VIA_2D = os.environ.get("RHO_CONV3D_VIA_2D") == "1"
 
 
 def conv_nd(
@@ -39,6 +44,12 @@ def conv_nd(
     """
     if isinstance(stride, int):
         stride = (stride,) * dims
+    if CONV3D_VIA_2D and dims == 3 and kernel_size == 3 and stride[0] == 1 \
+            and padding == "SAME":
+        return Conv3dVia2d(
+            features=features, strides=tuple(stride), zero_init=zero_init,
+            dtype=dtype, name=name,
+        )
     if isinstance(padding, int):
         padding = [(padding, padding)] * dims
     kwargs = {}
@@ -146,3 +157,50 @@ class Downsample(nn.Module):
 def mean_flat(x: jnp.ndarray) -> jnp.ndarray:
     """Mean over all non-batch dimensions (reference layers.py:105-110)."""
     return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
+
+class Conv3dVia2d(nn.Module):
+    """3-D convolution decomposed into 3 batched 2-D convolutions.
+
+    For kernels (3, kh, kw) with z-stride 1 (every 3-D conv in this
+    framework — the UNet downsamples only the inner two dims),
+        out[:, d] = sum_dz conv2d(x[:, d+dz-1], K[dz])
+    with (B, D) folded into the conv2d batch. XLA's 2-D convolution paths
+    are the most tuned on TPU, so this can out-run the native Conv3D
+    lowering; enable via env RHO_CONV3D_VIA_2D=1 (A/B'd in bench).
+    Parameters are stored in the standard [kz, kh, kw, Cin, Cout] layout, so
+    checkpoints are interchangeable with nn.Conv.
+    """
+
+    features: int
+    strides: tuple = (1, 1, 1)
+    zero_init: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.strides[0] == 1, "z-stride must be 1 for the 2d decomposition"
+        b, d, h, w, cin = x.shape
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        kernel = self.param("kernel", init, (3, 3, 3, cin, self.features), jnp.float32)
+        bias_init = nn.initializers.zeros
+        bias = self.param("bias", bias_init, (self.features,), jnp.float32)
+        dt = self.dtype or x.dtype
+        xk = x.astype(dt)
+        kz = kernel.astype(dt)
+
+        xp = jnp.pad(xk, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        out = None
+        for dz in range(3):
+            xs = xp[:, dz : dz + d].reshape(b * d, h, w, cin)
+            o = jax.lax.conv_general_dilated(
+                xs,
+                kz[dz],
+                window_strides=self.strides[1:],
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = o if out is None else out + o
+        oh, ow = out.shape[1], out.shape[2]
+        out = out.reshape(b, d, oh, ow, self.features)
+        return out + bias.astype(dt)
