@@ -165,9 +165,11 @@ class Conv3dVia2d(nn.Module):
     For kernels (3, kh, kw) with z-stride 1 (every 3-D conv in this
     framework — the UNet downsamples only the inner two dims),
         out[:, d] = sum_dz conv2d(x[:, d+dz-1], K[dz])
-    with (B, D) folded into the conv2d batch. XLA's 2-D convolution paths
-    are the most tuned on TPU, so this can out-run the native Conv3D
-    lowering; enable via env RHO_CONV3D_VIA_2D=1 (A/B'd in bench).
+    with (B, D) folded into the conv2d batch. MEASURED (v5e, chained
+    full-model A/B at 16^3): 0.80x native Conv3D — XLA's 3-D lowering is
+    already MXU-efficient, and the decomposition costs extra HBM for the
+    z-shifted copies (OOM at 32^3 b32). Kept as an opt-in alternative
+    backend (env RHO_CONV3D_VIA_2D=1) and a documented negative result.
     Parameters are stored in the standard [kz, kh, kw, Cin, Cout] layout, so
     checkpoints are interchangeable with nn.Conv.
     """
