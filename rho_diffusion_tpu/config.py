@@ -69,6 +69,8 @@ class TrainingConfig(BaseModel):
     dtype: str = "bfloat16"  # compute dtype under jit; params stay float32
     checkpoint_dir: Optional[str] = None
     log_every_n_steps: int = 50
+    val_fraction: float = 0.0  # held-out split evaluated each epoch
+    validate_every_n_epochs: int = 1
 
 
 class InferenceConfig(BaseModel):

@@ -45,6 +45,22 @@ def default_collate(samples: list) -> dict:
     return {"data": np.stack([np.asarray(s) for s in samples]), "labels": None}
 
 
+class Subset:
+    """Index-subset view of a dataset (train/val splits)."""
+
+    def __init__(self, dataset, indices) -> None:
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+        self.parameter_space = getattr(dataset, "parameter_space", None)
+        self.use_emb_as_labels = getattr(dataset, "use_emb_as_labels", False)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.indices[i])]
+
+
 class DataLoader:
     """Map-style dataset -> iterator of numpy batches.
 

@@ -161,11 +161,32 @@ class Trainer:
         self.mesh = mesh
         self.world_size = self.mesh.devices.size
 
+        train_ds, self.val_ds = dataset, None
+        if config.training.val_fraction > 0:
+            from rho_diffusion_tpu.data.loader import Subset
+
+            n = len(dataset)
+            n_val = max(int(n * config.training.val_fraction), 1)
+            rng = np.random.default_rng(config.training.seed)
+            perm = rng.permutation(n)
+            train_ds = Subset(dataset, perm[n_val:])
+            self.val_ds = Subset(dataset, perm[:n_val])
         self.loader = DataLoader(
-            dataset,
+            train_ds,
             batch_size=config.training.batch_size,
             shuffle=True,
             seed=config.training.seed,
+        )
+        self.val_loader = (
+            DataLoader(
+                self.val_ds,
+                batch_size=config.training.batch_size,
+                shuffle=False,
+                seed=config.training.seed,
+                drop_last=False,
+            )
+            if self.val_ds is not None and len(self.val_ds) > 0
+            else None
         )
         steps_per_epoch = max(len(self.loader), 1)
 
@@ -232,6 +253,22 @@ class Trainer:
             plot_tensor_images(np.asarray(samples), filename=str(out))
             self.log({"event": "sampled", "epoch": epoch, "file": str(out)})
 
+    def maybe_validate(self, state: TrainState, epoch: int) -> None:
+        """Held-out evaluation each N epochs (the reference's
+        validation_step was a stub returning 0, ddpm.py:367-371)."""
+        every = self.config.training.validate_every_n_epochs
+        if self.val_loader is None or not every or (epoch + 1) % every:
+            return
+        losses, psnrs = [], []
+        for batch in self.val_loader:
+            m = self.pipeline.validation_step(state, batch)
+            losses.append(float(m["train_loss"]))
+            psnrs.append(float(m["psnr"]))
+        self.log({
+            "event": "validation", "epoch": epoch,
+            "val_loss": float(np.mean(losses)), "val_psnr": float(np.mean(psnrs)),
+        })
+
     def maybe_checkpoint(self, state: TrainState, epoch: int) -> None:
         every = self.config.training.save_checkpoint_every_n_epochs
         if not every or (epoch + 1) % every:
@@ -286,6 +323,7 @@ class Trainer:
                             rec["steps_per_sec"] = 1.0 / max(dt, 1e-9)
                             step_times.append(dt)
                         self.log(rec)
+                self.maybe_validate(state, epoch)
                 self.maybe_sample(state, epoch)
                 self.maybe_checkpoint(state, epoch)
                 if epoch + 1 >= epochs:

@@ -119,3 +119,15 @@ def jtu_first(tree):
     import jax
 
     return jax.tree_util.tree_leaves(tree)[0]
+
+
+def test_validation_split_and_logging(tmp_path):
+    config = _config(tmp_path, val_fraction=0.25)
+    trainer = Trainer(config, dataset=ToyDataset(), work_dir=tmp_path)
+    assert trainer.val_loader is not None
+    assert len(trainer.val_ds) == 4  # 25% of 16
+    assert len(trainer.loader.dataset) == 12
+    trainer.fit(max_epochs=1)
+    lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    vals = [l for l in lines if l.get("event") == "validation"]
+    assert vals and np.isfinite(vals[0]["val_loss"])
