@@ -178,12 +178,30 @@ def _resblock(sd: _SD, prefix: str, has_skip: bool) -> dict:
     return out
 
 
-def _attnblock(sd: _SD, prefix: str) -> dict:
+def _attnblock(sd: _SD, prefix: str, num_heads: int, new_order: bool) -> dict:
+    """Attention block weights. The reference has two qkv channel layouts
+    (unet_v2.py:365-436): legacy = per-head [q|k|v] blocks ([H, 3, D]),
+    "new order" = [q|k|v] thirds each per-head ([3, H, D]). Our AttentionBlock
+    uses the legacy layout, so new-order checkpoints get their qkv output
+    channels permuted here."""
+    qkv_w = sd(f"{prefix}.qkv.weight")  # [3C, C, 1]
+    qkv_b = sd(f"{prefix}.qkv.bias")
+    if new_order:
+        three_c = qkv_w.shape[0]
+        d = three_c // (3 * num_heads)
+        perm = (
+            np.arange(three_c)
+            .reshape(3, num_heads, d)    # new order: [j, h, d]
+            .transpose(1, 0, 2)          # -> legacy: [h, j, d]
+            .reshape(-1)
+        )
+        qkv_w = qkv_w[perm]
+        qkv_b = qkv_b[perm]
     return {
         "norm": _groupnorm(sd, f"{prefix}.norm"),
         "qkv": {
-            "kernel": _dense_from_conv1x1(sd(f"{prefix}.qkv.weight")),
-            "bias": sd(f"{prefix}.qkv.bias"),
+            "kernel": _dense_from_conv1x1(qkv_w),
+            "bias": qkv_b,
         },
         "proj_out": {
             "kernel": _dense_from_conv1x1(sd(f"{prefix}.proj_out.weight")),
@@ -200,6 +218,9 @@ def transplant_unet_state_dict(
     attention_resolutions=(16, 8),
     conv_resample: bool = True,
     resblock_updown: bool = False,
+    num_heads: int = 1,
+    num_head_channels: int = -1,
+    use_new_attention_order: bool = False,
     strict: bool = True,
 ) -> dict:
     """Convert a reference UNetv2 ``state_dict`` (torch tensors or numpy)
@@ -212,6 +233,9 @@ def transplant_unet_state_dict(
     """
     sd = _SD({k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in state_dict.items()})
     params: dict = {}
+
+    def heads_for(ch: int) -> int:
+        return ch // num_head_channels if num_head_channels != -1 else num_heads
 
     params["time_dense_0"] = {
         "kernel": _dense_from_linear(sd("time_embed.0.weight")),
@@ -248,7 +272,8 @@ def transplant_unet_state_dict(
             ch = out_ch
             if ds in tuple(attention_resolutions):
                 params[f"enc_attn_{level}_{i}"] = _attnblock(
-                    sd, f"input_blocks.{idx}.1",
+                    sd, f"input_blocks.{idx}.1", heads_for(ch),
+                    use_new_attention_order,
                 )
             idx += 1
         if level != len(channel_mult) - 1:
@@ -256,19 +281,22 @@ def transplant_unet_state_dict(
                 params[f"down_{level}"] = _resblock(
                     sd, f"input_blocks.{idx}.0", has_skip=False,
                 )
-            else:
+            elif conv_resample:
                 params[f"down_{level}"] = {
                     "op": {
                         "kernel": _conv_kernel(sd(f"input_blocks.{idx}.0.op.weight")),
                         "bias": sd(f"input_blocks.{idx}.0.op.bias"),
                     },
                 }
+            # conv_resample=False: avg-pool downsample, no weights
             idx += 1
             ds *= 2
 
     # --- middle ---
     params["mid_res_0"] = _resblock(sd, "middle_block.0", has_skip=False)
-    params["mid_attn"] = _attnblock(sd, "middle_block.1")
+    params["mid_attn"] = _attnblock(
+        sd, "middle_block.1", heads_for(ch), use_new_attention_order,
+    )
     params["mid_res_1"] = _resblock(sd, "middle_block.2", has_skip=False)
 
     # --- decoder ---
@@ -283,7 +311,8 @@ def transplant_unet_state_dict(
             layer = 1
             if ds in tuple(attention_resolutions):
                 params[f"dec_attn_{level}_{i}"] = _attnblock(
-                    sd, f"output_blocks.{idx}.{layer}",
+                    sd, f"output_blocks.{idx}.{layer}", heads_for(ch),
+                    use_new_attention_order,
                 )
                 layer += 1
             if level and i == num_res_blocks:
@@ -291,7 +320,7 @@ def transplant_unet_state_dict(
                     params[f"up_{level}"] = _resblock(
                         sd, f"output_blocks.{idx}.{layer}", has_skip=False,
                     )
-                else:
+                elif conv_resample:
                     params[f"up_{level}"] = {
                         "conv": {
                             "kernel": _conv_kernel(
@@ -300,6 +329,7 @@ def transplant_unet_state_dict(
                             "bias": sd(f"output_blocks.{idx}.{layer}.conv.bias"),
                         },
                     }
+                # conv_resample=False: nearest upsample only, no weights
                 ds //= 2
             idx += 1
 

@@ -238,3 +238,57 @@ def test_load_torch_checkpoint_file(ref, tmp_path):
     ):
         assert jax.tree_util.keystr(p1) == jax.tree_util.keystr(p2)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        {"use_new_attention_order": True, "num_heads": 2},
+        {"num_head_channels": 16},
+        {"resblock_updown": True},
+        {"use_scale_shift_norm": False},
+        {"conv_resample": False},
+    ],
+    ids=["new-attn-order", "head-channels", "resblock-updown",
+         "additive-emb", "pool-resample"],
+)
+def test_unet_flag_variants_field_mse(ref, flags):
+    """Parity across the reference's architecture flags — including the
+    "new attention order" qkv layout (transplant permutes channels) and
+    resblock up/downsampling."""
+    torch.manual_seed(0)
+    mc, mult, attn, nrb = 32, (1, 2), [2], 1
+    kwargs = dict(
+        in_channels=1, model_channels=mc, out_channels=1,
+        num_res_blocks=nrb, attention_resolutions=attn, channel_mult=mult,
+        dims=2, num_heads=flags.get("num_heads", 1),
+        num_head_channels=flags.get("num_head_channels", -1),
+        use_scale_shift_norm=flags.get("use_scale_shift_norm", True),
+        resblock_updown=flags.get("resblock_updown", False),
+        use_new_attention_order=flags.get("use_new_attention_order", False),
+        conv_resample=flags.get("conv_resample", True),
+    )
+    t_model = ref["unet_v2"].UNet(data_shape=[8, 8], **kwargs).eval()
+    j_model = UNet(data_shape=(8, 8), **kwargs)
+    params = transplant_unet_state_dict(
+        t_model.state_dict(), model_channels=mc, num_res_blocks=nrb,
+        channel_mult=mult, attention_resolutions=attn,
+        conv_resample=kwargs["conv_resample"],
+        resblock_updown=kwargs["resblock_updown"],
+        num_heads=kwargs["num_heads"],
+        num_head_channels=kwargs["num_head_channels"],
+        use_new_attention_order=kwargs["use_new_attention_order"],
+    )
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 8, 8, 1)).astype(np.float32)
+    t = np.array([4, 19])
+    with torch.no_grad():
+        out_t = t_model(
+            torch.tensor(np.moveaxis(x, -1, 1)), torch.tensor(t),
+        ).numpy()
+    out_t = np.moveaxis(out_t, 1, -1)
+    out_j = np.asarray(
+        j_model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t)),
+    )
+    mse = float(np.mean((out_t - out_j) ** 2))
+    assert mse < 1e-10, f"field MSE {mse} for {flags}"
