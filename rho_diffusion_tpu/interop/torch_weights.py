@@ -60,11 +60,21 @@ def load_reference_modules(root: Path = REFERENCE_ROOT) -> dict[str, Any]:
         stub.__getattr__ = _getattr
         return stub
 
+    import importlib.util as _ilu
+
     for stub_name in ("torchvision", "torchvision.transforms",
                       "torchvision.transforms.transforms", "torchvision.utils",
                       "matplotlib", "matplotlib.pyplot", "tqdm"):
-        if stub_name not in sys.modules:
-            sys.modules[stub_name] = _permissive_stub(stub_name)
+        if stub_name in sys.modules:
+            continue
+        # only stub what is genuinely missing — clobbering an importable
+        # module (e.g. matplotlib) would break unrelated consumers later
+        try:
+            if _ilu.find_spec(stub_name) is not None:
+                continue
+        except (ImportError, ModuleNotFoundError, ValueError):
+            pass
+        sys.modules[stub_name] = _permissive_stub(stub_name)
 
     pkg_root = root / "rho_diffusion"
     if "rho_diffusion" not in sys.modules:
