@@ -34,8 +34,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+# block sweep on v5e (state-chained timing, T=16384 d=64 bf16):
+# 512/512 = 10.06 ms, 1024/1024 = 5.41 ms, 512/2048 = 5.39 ms vs
+# XLA full attention 10.58 ms -> 1024/1024 is ~1.9x XLA and fits VMEM
+# (4 MB f32 scores + ~0.5 MB blocks/accumulators)
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 NEG_INF = -1e30
 
 
