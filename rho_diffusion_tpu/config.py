@@ -71,6 +71,20 @@ class TrainingConfig(BaseModel):
     log_every_n_steps: int = 50
     val_fraction: float = 0.0  # held-out split evaluated each epoch
     validate_every_n_epochs: int = 1
+    # Parallel layout. ``mesh`` picks the ("data", "context") device mesh,
+    # e.g. {"data": 4, "context": 2}; "data": -1 means all remaining
+    # devices. context > 1 enables ring attention over the context axis
+    # (sequence parallelism for volumetric token counts). Omitted -> pure
+    # data parallelism over every device.
+    mesh: Optional[dict[str, int]] = None
+    # Shard large parameter kernels' output channels over the context axis
+    # (tensor parallelism; GSPMD inserts the collectives).
+    tensor_parallel: bool = False
+    tp_min_dim: int = 64  # smallest channel count worth sharding
+    # ZeRO-1: shard optimizer moments (and the EMA shadow) over the data
+    # axis — 1/N memory per device (the reference's commented
+    # deepspeed_stage_1, scripts/training.py:139).
+    zero1: bool = False
 
 
 class InferenceConfig(BaseModel):

@@ -138,14 +138,21 @@ class DataLoader:
         n_batches = len(self)
         for b in range(n_batches):
             chunk = indices[b * gbs : (b + 1) * gbs]
-            if len(chunk) < gbs:
+            n_real = len(chunk)
+            if n_real < gbs:
                 if self.drop_last:
                     break
-                # pad by wrapping so shapes stay static for jit
-                chunk = np.concatenate([chunk, indices[: gbs - len(chunk)]])
+                # pad by wrapping so shapes stay static for jit; mark the
+                # padded rows so consumers (validation) can exclude them
+                # instead of double-counting early samples
+                chunk = np.concatenate([chunk, indices[: gbs - n_real]])
             # this host's slice of the global batch
-            local = np.array_split(chunk, self.num_processes)[self.process_index]
-            yield self._build_batch(local)
+            parts = np.array_split(np.arange(gbs), self.num_processes)
+            local_pos = parts[self.process_index]
+            batch = self._build_batch(chunk[local_pos])
+            if n_real < gbs:
+                batch["valid"] = (local_pos < n_real)
+            yield batch
         self.epoch += 1
 
 
@@ -183,8 +190,15 @@ def prefetch_to_device(
     """Move numpy batches onto device(s) ahead of consumption.
 
     ``sharding`` is a ``jax.sharding.Sharding`` for the batch (typically
-    NamedSharding(mesh, P("data", ...))); when None, default placement."""
+    NamedSharding(mesh, P("data", ...))); when None, default placement.
+
+    Multi-host: each process's batch is its LOCAL 1/num_processes slice
+    (DataLoader contract above), so the global array must be assembled with
+    ``jax.make_array_from_process_local_data`` — ``jax.device_put`` would
+    treat the local slice as the global value, silently shrinking the
+    effective global batch to batch_size/num_processes."""
     buf = collections.deque()
+    multi_host = jax.process_count() > 1
 
     def put(batch: dict) -> dict:
         out = {}
@@ -192,7 +206,12 @@ def prefetch_to_device(
             if v is None:
                 out[k] = None
             elif sharding is not None:
-                out[k] = jax.device_put(v, sharding)
+                if multi_host:
+                    out[k] = jax.make_array_from_process_local_data(
+                        sharding, np.asarray(v),
+                    )
+                else:
+                    out[k] = jax.device_put(v, sharding)
             else:
                 out[k] = jax.device_put(v)
         return out

@@ -117,7 +117,7 @@ class AbstractDiffusionPipeline:
         else:
             self.tx = optimizer  # a ready optax.GradientTransformation
 
-        self._train_step = None
+        self._train_steps: dict = {}
         self._val_step = None
         # per-(shape, options) cache of jitted samplers so epoch-end
         # generation doesn't re-trace every call
@@ -221,9 +221,17 @@ class AbstractDiffusionPipeline:
 
     @property
     def train_step(self) -> Callable:
-        if self._train_step is None:
-            self._train_step = self.make_train_step()
-        return self._train_step
+        # keyed by the active mesh: the attention backend dispatch inside
+        # the traced function is mesh-dependent (ring attention on
+        # context>1 meshes), and jit's own trace cache would not re-run
+        # that Python-level branch for a different mesh
+        from rho_diffusion_tpu.parallel.mesh import get_active_mesh
+
+        mesh = get_active_mesh()
+        key = None if mesh is None else tuple(sorted(mesh.shape.items()))
+        if key not in self._train_steps:
+            self._train_steps[key] = self.make_train_step()
+        return self._train_steps[key]
 
     def training_step(self, state: TrainState, batch):
         """Run one optimization step. ``batch``: dict, (data, labels) tuple,

@@ -138,6 +138,7 @@ def CosineBetaSchedule(
     num_steps: int,
     offset: float = 0.008,
     device=None,
+    exact_reference: bool = False,
 ) -> NoiseSchedule:
     """Nichol & Dhariwal (2021) cosine schedule (reference schedule.py:171-214).
 
@@ -146,11 +147,35 @@ def CosineBetaSchedule(
     (an off-by-one — schedule.py:185-206). We use the standard formulation
     beta_i = 1 - f(i+1)/f(i) over exactly ``num_steps`` entries, clipped to
     [1e-4, 0.9999] like the reference.
+
+    ``exact_reference=True`` reproduces the reference's table verbatim
+    (first ``num_steps`` of its T+1 entries, INCLUDING the degenerate
+    beta_0) so torch checkpoints trained under the reference's cosine
+    schedule denoise here under numerically identical coefficients —
+    use it with ``interop.load_torch_checkpoint`` migrations.
     """
     del device
     t = np.linspace(0.0, num_steps, num_steps + 1, dtype=np.float64) / num_steps
     alpha_bar = np.cos((t + offset) / (1.0 + offset) * math.pi * 0.5) ** 2
     alpha_bar = np.clip(alpha_bar / alpha_bar[0], 0.0, 1.0)
+    if exact_reference:
+        # reference schedule.py:190-214 verbatim: T+1-long tables where
+        # beta_i = clip(1 - abar_i/abar_{i-1}) with abar_{-1} := 1 (leading
+        # degenerate beta_0 = 1e-4), alpha = 1-beta, and alpha_bar stays the
+        # RAW cos^2 table (NOT a cumprod of the clipped alphas); pipelines
+        # index t in [0, T) so we truncate to num_steps entries.
+        prev = np.concatenate([[1.0], alpha_bar[:-1]])
+        beta = np.clip(1.0 - alpha_bar / prev, 0.0001, 0.9999)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sigma = np.sqrt((1.0 - prev) / (1.0 - alpha_bar) * beta)
+        sigma = np.nan_to_num(sigma)  # reference sigma_0 is 0/0; unused at t=0
+        f32 = lambda a: jnp.asarray(a[:num_steps].astype(np.float32))
+        return NoiseSchedule(
+            beta_t=f32(beta),
+            alpha_t=f32(1.0 - beta),
+            alpha_bar_t=f32(alpha_bar),
+            sigma_t=f32(sigma),
+        )
     beta = 1.0 - alpha_bar[1:] / np.maximum(alpha_bar[:-1], 1e-12)
     beta = np.clip(beta, 0.0001, 0.9999)
     return schedule_from_betas(beta)

@@ -44,24 +44,55 @@ def xla_attention(
     return jnp.einsum("bhts,bshd->bthd", weights, v)
 
 
+def _ring_capable(q: jnp.ndarray) -> bool:
+    """Ring attention applies when the Trainer's active mesh has a context
+    axis >1 that divides the token count (SURVEY.md §5: slots into
+    AttentionBlock's single call site)."""
+    from rho_diffusion_tpu.parallel.mesh import CONTEXT_AXIS, get_active_mesh
+
+    mesh = get_active_mesh()
+    if mesh is None or CONTEXT_AXIS not in mesh.shape:
+        return False
+    ctx = mesh.shape[CONTEXT_AXIS]
+    return ctx > 1 and q.shape[1] % ctx == 0 and q.shape[1] // ctx >= 1
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     backend: str = "auto",
 ) -> jnp.ndarray:
-    """Dispatching multi-head attention. q, k, v: [B, T, H, D]."""
+    """Dispatching multi-head attention. q, k, v: [B, T, H, D].
+
+    Backends: "xla" (einsum), "flash" (Pallas online-softmax), "ring"
+    (context-parallel over the active mesh's context axis — each device
+    holds T/ctx tokens and K/V shards rotate over ICI). "auto" picks ring
+    when the Trainer stepped under a context>1 mesh, then flash by length.
+    """
     if backend == "auto":
-        use_flash = (
-            q.shape[1] >= FLASH_MIN_SEQ_LEN
-            and q.shape[-1] <= 256
-            and jax.default_backend() == "tpu"
-        )
-        backend = "flash" if use_flash else "xla"
+        if _ring_capable(q):
+            backend = "ring"
+        else:
+            use_flash = (
+                q.shape[1] >= FLASH_MIN_SEQ_LEN
+                and q.shape[-1] <= 256
+                and jax.default_backend() == "tpu"
+            )
+            backend = "flash" if use_flash else "xla"
     if backend == "xla":
         return xla_attention(q, k, v)
     if backend == "flash":
         from rho_diffusion_tpu.ops.pallas.flash_attention import flash_attention
 
         return flash_attention(q, k, v)
+    if backend == "ring":
+        from rho_diffusion_tpu.parallel.context import context_sharded_attention
+        from rho_diffusion_tpu.parallel.mesh import get_active_mesh
+
+        if not _ring_capable(q):
+            # token count not divisible by the context axis (or no mesh):
+            # full attention is exact and cheap at these sizes
+            return xla_attention(q, k, v)
+        return context_sharded_attention(q, k, v, get_active_mesh())
     raise ValueError(f"Unknown attention backend '{backend}'")

@@ -62,17 +62,24 @@ class GroupNorm32(nn.Module):
         orig_dtype = x.dtype
         xg = x.reshape(*x.shape[:-1], groups, c // groups)
         red_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
-        # f32-accumulated statistics (fast variance, like flax/torch default)
+        # f32-accumulated statistics (fast variance, like flax/torch default).
+        # Square in f32 unconditionally: squaring bf16 values in bf16 loses
+        # ~5 bits before the f32 accumulation even starts; the per-element
+        # convert fuses into the reduction so no f32 copy is materialised.
         mean = jnp.mean(xg, axis=red_axes, dtype=jnp.float32, keepdims=True)
         mean2 = jnp.mean(
-            jnp.square(xg.astype(jnp.float32) if orig_dtype == jnp.float32 else xg),
+            jnp.square(xg.astype(jnp.float32)),
             axis=red_axes, dtype=jnp.float32, keepdims=True,
         )
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
-        out = (xg - mean.astype(orig_dtype)) * inv.astype(orig_dtype)
+        # normalise in f32 with FUSED converts (bf16 in registers -> f32 ops
+        # -> one bf16 store): same HBM traffic as all-bf16, but the
+        # (x - mean) subtraction keeps full precision — in bf16 it loses
+        # ulp(mean)/std relative accuracy whenever |mean| >> std
+        out = (xg.astype(jnp.float32) - mean) * inv
         out = out.reshape(x.shape)
-        return out * scale.astype(orig_dtype) + bias.astype(orig_dtype)
+        return (out * scale + bias).astype(orig_dtype)
 
 
 class RMSNorm(nn.Module):

@@ -1,12 +1,15 @@
 from rho_diffusion_tpu.parallel.mesh import (  # noqa: F401
     CONTEXT_AXIS,
     DATA_AXIS,
+    active_mesh,
     batch_sharding,
+    get_active_mesh,
     initialize_distributed,
     make_mesh,
     replicate_state,
     replicated,
     shard_batch,
+    shard_opt_state_zero1,
 )
 from rho_diffusion_tpu.parallel.context import (  # noqa: F401
     context_sharded_attention,

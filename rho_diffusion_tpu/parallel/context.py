@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from rho_diffusion_tpu.parallel.mesh import CONTEXT_AXIS
+from rho_diffusion_tpu.parallel.mesh import CONTEXT_AXIS, DATA_AXIS
 
 
 def _block_attention_with_lse(q, k, v):
@@ -89,8 +89,14 @@ def context_sharded_attention(
     axis_name: str = CONTEXT_AXIS,
 ) -> jnp.ndarray:
     """Global entry point: shards the token axis of [B, T, H, D] inputs over
-    ``axis_name`` and runs ring attention. T must divide by the axis size."""
-    spec = P(None, axis_name, None, None)
+    ``axis_name`` and runs ring attention. T must divide by the axis size.
+    The batch axis is additionally sharded over the data axis when divisible,
+    so data parallelism is preserved through the attention section (each
+    data group runs its own independent K/V ring)."""
+    batch_axis = None
+    if DATA_AXIS in mesh.shape and q.shape[0] % mesh.shape[DATA_AXIS] == 0:
+        batch_axis = DATA_AXIS
+    spec = P(batch_axis, axis_name, None, None)
     fn = jax.shard_map(
         partial(ring_attention, axis_name=axis_name),
         mesh=mesh,

@@ -33,6 +33,7 @@ from rho_diffusion_tpu.config import ExperimentConfig
 from rho_diffusion_tpu.data.loader import DataLoader, prefetch_to_device
 from rho_diffusion_tpu.diffusion.base import AbstractDiffusionPipeline
 from rho_diffusion_tpu.parallel.mesh import (
+    active_mesh,
     batch_sharding,
     make_mesh,
     replicate_state,
@@ -144,22 +145,23 @@ class Trainer:
         self.dataset = dataset
 
         if mesh is None:
-            import math
-
-            import jax as _jax
-
-            n_dev = len(_jax.devices())
-            data_size = math.gcd(config.training.batch_size, n_dev)
-            if data_size != n_dev:
-                print(
-                    f"note: batch_size {config.training.batch_size} not "
-                    f"divisible by {n_dev} devices; using a {data_size}-device "
-                    f"data axis",
-                    flush=True,
-                )
-            mesh = make_mesh(data=data_size, devices=_jax.devices()[:data_size])
+            mesh_cfg = config.training.mesh or {}
+            mesh = make_mesh(
+                data=int(mesh_cfg.get("data", -1)),
+                context=int(mesh_cfg.get("context", 1)),
+            )
         self.mesh = mesh
         self.world_size = self.mesh.devices.size
+        data_size = self.mesh.shape["data"]
+        if config.training.batch_size % data_size:
+            # no silent device-stranding (round-1 gcd fallback removed):
+            # every data-axis device must get equal batch rows
+            raise ValueError(
+                f"batch_size {config.training.batch_size} is not divisible "
+                f"by the {data_size}-device data axis. Set training.batch_size "
+                f"to a multiple of {data_size}, or pick a smaller mesh via "
+                f'training.mesh = {{"data": N, "context": M}}.'
+            )
 
         train_ds, self.val_ds = dataset, None
         if config.training.val_fraction > 0:
@@ -231,7 +233,20 @@ class Trainer:
         elif resume and self.checkpoints.latest_step() is not None:
             state = self.checkpoints.restore(state)
             self.log({"event": "resumed", "step": int(state.step)})
-        return replicate_state(state, self.mesh)
+        cfg = self.config.training
+        if cfg.tensor_parallel:
+            from rho_diffusion_tpu.parallel.tensor import shard_params_for_tp
+
+            state = shard_params_for_tp(
+                state, self.mesh, min_dim=cfg.tp_min_dim,
+            )
+        else:
+            state = replicate_state(state, self.mesh)
+        if cfg.zero1:
+            from rho_diffusion_tpu.parallel.mesh import shard_opt_state_zero1
+
+            state = shard_opt_state_zero1(state, self.mesh)
+        return state
 
     # -- epoch-end hooks (reference on_train_epoch_end, ddpm.py:301-317) --
     def maybe_sample(self, state: TrainState, epoch: int) -> None:
@@ -259,14 +274,33 @@ class Trainer:
         every = self.config.training.validate_every_n_epochs
         if self.val_loader is None or not every or (epoch + 1) % every:
             return
-        losses, psnrs = [], []
+        losses, psnrs, weights = [], [], []
         for batch in self.val_loader:
+            valid = batch.pop("valid", None)
+            if valid is not None:
+                # short final batch was wrap-padded by the loader: evaluate
+                # only the real rows (they form a prefix of the local slice)
+                # so val metrics don't double-count early samples
+                n = int(np.sum(valid))
+                if n == 0:
+                    continue
+                assert bool(np.all(valid[:n])), "padded rows must be a suffix"
+                batch = {
+                    k: v[:n]
+                    if isinstance(v, np.ndarray) and v.shape[:1] == valid.shape[:1]
+                    else v
+                    for k, v in batch.items()
+                }
             m = self.pipeline.validation_step(state, batch)
             losses.append(float(m["train_loss"]))
             psnrs.append(float(m["psnr"]))
+            weights.append(len(batch["data"]))
+        if not losses:
+            return
         self.log({
             "event": "validation", "epoch": epoch,
-            "val_loss": float(np.mean(losses)), "val_psnr": float(np.mean(psnrs)),
+            "val_loss": float(np.average(losses, weights=weights)),
+            "val_psnr": float(np.average(psnrs, weights=weights)),
         })
 
     def maybe_checkpoint(self, state: TrainState, epoch: int) -> None:
@@ -296,7 +330,10 @@ class Trainer:
                 epoch_loss, n_steps = 0.0, 0
                 t_step = time.perf_counter()
                 for batch in prefetch_to_device(iter(self.loader), sharding):
-                    with self.mesh:
+                    # active_mesh (not bare `with mesh`) so trace-time
+                    # dispatch — e.g. ring attention on context>1 meshes —
+                    # can see the mesh (parallel/mesh.py:get_active_mesh)
+                    with active_mesh(self.mesh):
                         state, metrics = self.pipeline.training_step(state, batch)
                     n_steps += 1
                     step = int(state.step)

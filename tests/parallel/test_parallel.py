@@ -160,3 +160,117 @@ def test_tensor_parallel_param_sharding_matches_replicated():
     np.testing.assert_allclose(
         float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-4,
     )
+
+
+def _attn_pipe():
+    """Small UNetv2 WITH attention (16 tokens at ds=2) for CP tests."""
+    import rho_diffusion_tpu  # noqa: F401
+    from rho_diffusion_tpu.diffusion import DDPM, LinearSchedule
+
+    return DDPM(
+        backbone="UNetv2",
+        backbone_kwargs=dict(
+            data_shape=(8, 8), dims=2, in_channels=1, out_channels=1,
+            model_channels=16, num_res_blocks=1, channel_mult=(1, 2),
+            attention_resolutions=[2], num_heads=2,
+        ),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        optimizer="AdamW",
+        opt_kwargs={"lr": 1e-3},
+    )
+
+
+def test_context_parallel_train_step_matches_pure_dp():
+    """VERDICT round-1 item 3: the full UNetv2 train step on a
+    data=4 x context=2 mesh (ring attention auto-dispatched through the
+    active mesh) must match the data=8 pure-DP loss."""
+    from rho_diffusion_tpu.parallel import active_mesh, replicate_state, shard_batch
+
+    pipe = _attn_pipe()
+    batch = {
+        "data": np.random.default_rng(1).uniform(-1, 1, (8, 8, 8, 1)).astype(np.float32),
+        "labels": None,
+    }
+
+    mesh_dp = make_mesh(data=8, context=1)
+    with active_mesh(mesh_dp):
+        s_dp = replicate_state(pipe.create_state(jax.random.PRNGKey(0)), mesh_dp)
+        _, m_dp = pipe.train_step(s_dp, shard_batch(dict(batch), mesh_dp))
+        loss_dp = float(m_dp["train_loss"])
+
+    mesh_cp = make_mesh(data=4, context=2)
+    with active_mesh(mesh_cp):
+        s_cp = replicate_state(pipe.create_state(jax.random.PRNGKey(0)), mesh_cp)
+        _, m_cp = pipe.train_step(s_cp, shard_batch(dict(batch), mesh_cp))
+        loss_cp = float(m_cp["train_loss"])
+
+    assert np.isfinite(loss_cp)
+    np.testing.assert_allclose(loss_cp, loss_dp, rtol=2e-5)
+
+
+def test_ring_backend_dispatch_under_active_mesh():
+    """attention(backend="auto") routes to ring attention exactly when the
+    active mesh has context > 1 and the token count divides."""
+    from rho_diffusion_tpu.ops.attention import _ring_capable
+    from rho_diffusion_tpu.parallel import active_mesh
+
+    q = jnp.zeros((2, 16, 2, 8))
+    assert not _ring_capable(q)  # no active mesh
+    with active_mesh(make_mesh(data=4, context=2)):
+        assert _ring_capable(q)
+        assert not _ring_capable(jnp.zeros((2, 15, 2, 8)))  # 15 % 2 != 0
+    with active_mesh(make_mesh(data=8, context=1)):
+        assert not _ring_capable(q)  # context axis of size 1
+
+
+def test_zero1_opt_state_sharded_and_loss_matches():
+    """VERDICT round-1 item 5 (ZeRO-1): optimizer moments sharded 1/N over
+    the data axis; the train step's loss matches fully-replicated DP."""
+    from rho_diffusion_tpu.parallel import (
+        active_mesh,
+        replicate_state,
+        shard_batch,
+        shard_opt_state_zero1,
+    )
+
+    pipe = _attn_pipe()
+    batch = {
+        "data": np.random.default_rng(2).uniform(-1, 1, (8, 8, 8, 1)).astype(np.float32),
+        "labels": None,
+    }
+    mesh = make_mesh(data=8, context=1)
+
+    with active_mesh(mesh):
+        s_rep = replicate_state(pipe.create_state(jax.random.PRNGKey(0)), mesh)
+        _, m_rep = pipe.train_step(s_rep, shard_batch(dict(batch), mesh))
+
+        s_z = replicate_state(pipe.create_state(jax.random.PRNGKey(0)), mesh)
+        s_z = shard_opt_state_zero1(s_z, mesh)
+        # every large moment leaf must be sharded over "data": its
+        # per-device footprint is 1/8 of the replicated one
+        sharded_leaves = [
+            l for l in jax.tree_util.tree_leaves(s_z.opt_state)
+            if hasattr(l, "sharding") and l.size >= 8
+            and any(s is not None for s in (l.sharding.spec or ()))
+        ]
+        assert sharded_leaves, "expected sharded optimizer moments"
+        big = max(sharded_leaves, key=lambda l: l.size)
+        assert big.addressable_shards[0].data.size == big.size // 8
+
+        s_z2, m_z = pipe.train_step(s_z, shard_batch(dict(batch), mesh))
+
+    np.testing.assert_allclose(
+        float(m_z["train_loss"]), float(m_rep["train_loss"]), rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(m_z["grad_norm"]), float(m_rep["grad_norm"]), rtol=1e-4,
+    )
+    # updated moments keep their sharding (memory stays 1/N across steps)
+    big2 = max(
+        (l for l in jax.tree_util.tree_leaves(s_z2.opt_state)
+         if hasattr(l, "sharding") and l.size >= 8),
+        key=lambda l: l.size,
+    )
+    assert any(s is not None for s in (big2.sharding.spec or ())), (
+        "opt-state sharding lost after one train step"
+    )

@@ -59,6 +59,24 @@ def test_cosine_schedule_tables_match(ref):
     )
 
 
+def test_cosine_schedule_exact_reference_mode(ref):
+    """exact_reference=True reproduces the reference's T+1 table (first T
+    entries, degenerate beta_0 included) for checkpoint-migration parity."""
+    theirs = ref["schedule"].CosineBetaSchedule(100)
+    ours = CosineBetaSchedule(100, exact_reference=True)
+    for key in ("beta_t", "alpha_t", "alpha_bar_t"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ours, key)),
+            getattr(theirs, key).numpy()[:100],
+            rtol=1e-5, atol=1e-7, err_msg=key,
+        )
+    # sigma_0 is 0/0 in the reference (never used at t=0); compare the rest
+    np.testing.assert_allclose(
+        np.asarray(ours.sigma_t)[1:], theirs.sigma_t.numpy()[1:100],
+        rtol=1e-5, atol=1e-7,
+    )
+
+
 def test_sinusoidal_embedding_matches(ref):
     t = np.array([0, 1, 7, 500, 999])
     theirs = ref["common"].sinosoidal_position_embedding(
