@@ -103,6 +103,7 @@ class SphericalHarmonicDataset(MultiVariateDataset):
         random_seed: Optional[int] = None,
         use_emb_as_labels: bool = True,
         use_native: bool = False,
+        cache_fields: bool = True,
         **grid_kwargs,
     ) -> None:
         assert max_l and max_l > 0, f"invalid max_l: {max_l}"
@@ -136,6 +137,14 @@ class SphericalHarmonicDataset(MultiVariateDataset):
         if self.h5_path:
             assert self.h5_path.exists(), f"{self.h5_path} not found"
         self.labels_emb_map: dict[bytes, dict] = {}
+        # Field memoisation: the density is a DETERMINISTIC function of
+        # (l, m) on a fixed grid, and the parameter space is tiny (sum of
+        # 2l+1 over l < max_l — 25 fields for the flagship max_l=5), so the
+        # round-1 "host datagen costs ~28% of the flagship step" gap
+        # (RESULTS.md) is a cache, not a compute problem. ~128 KB per 32^3
+        # field. Disable for huge grids/max_l via cache_fields=False.
+        self.cache_fields = cache_fields
+        self._field_cache: dict[tuple[int, int], np.ndarray] = {}
 
     # -- random quantum numbers (reference synthetic.py:244-254) ----------
     def random_set(self) -> tuple[int, int]:
@@ -173,16 +182,19 @@ class SphericalHarmonicDataset(MultiVariateDataset):
                 m = int(f["m"][index])
         else:
             l, m = self.random_set()  # noqa: E741
-            grid = {k: self.grid_kwargs[k] for k in ("x", "y", "z")}
-            density = None
-            if self.use_native:
-                from rho_diffusion_tpu.native import ylm_field_native
-
-                density = ylm_field_native(
-                    grid["x"], grid["y"], grid["z"], m=m, l=l,
-                )
+            density = self._field_cache.get((l, m)) if self.cache_fields else None
             if density is None:
-                _, density, _ = compute_spherical_harmonic(**grid, m=m, l=l)
+                grid = {k: self.grid_kwargs[k] for k in ("x", "y", "z")}
+                if self.use_native:
+                    from rho_diffusion_tpu.native import ylm_field_native
+
+                    density = ylm_field_native(
+                        grid["x"], grid["y"], grid["z"], m=m, l=l,
+                    )
+                if density is None:
+                    _, density, _ = compute_spherical_harmonic(**grid, m=m, l=l)
+                if self.cache_fields:
+                    self._field_cache[(l, m)] = density
         field = Density(density.astype(np.float32)[..., None])  # channels-last
         return field, self._label(l, m)
 

@@ -9,6 +9,7 @@ learned-variance training and bits-per-dim evaluation
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from rho_diffusion_tpu.registry import registry
@@ -38,11 +39,58 @@ def smooth_l1_loss(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) ->
     return jnp.mean(jnp.where(err < beta, 0.5 * err**2 / beta, err - 0.5 * beta))
 
 
+def cross_entropy_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.CrossEntropyLoss semantics: ``pred`` are logits [N, C];
+    ``target`` is class indices [N] (integer) or class probabilities
+    [N, C]."""
+    logp = jax.nn.log_softmax(pred, axis=-1)
+    if jnp.issubdtype(target.dtype, jnp.integer):
+        picked = jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+        return -jnp.mean(picked)
+    return -jnp.mean(jnp.sum(target * logp, axis=-1))
+
+
+def nll_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.NLLLoss: ``pred`` are log-probabilities [N, C], ``target``
+    integer class indices [N]."""
+    picked = jnp.take_along_axis(pred, target[..., None], axis=-1)[..., 0]
+    return -jnp.mean(picked)
+
+
+def bce_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.BCELoss: ``pred`` are probabilities in [0, 1]."""
+    p = jnp.clip(pred, 1e-12, 1.0 - 1e-12)
+    return -jnp.mean(target * jnp.log(p) + (1.0 - target) * jnp.log1p(-p))
+
+
+def bce_with_logits_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.BCEWithLogitsLoss (numerically stable log-sigmoid form)."""
+    return jnp.mean(
+        jnp.maximum(pred, 0.0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred))),
+    )
+
+
+def kldiv_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.KLDivLoss (default 'mean' reduction): ``pred`` are
+    log-probabilities, ``target`` probabilities."""
+    t = jnp.maximum(target, 0.0)
+    elt = jnp.where(t > 0, t * (jnp.log(jnp.maximum(t, 1e-12)) - pred), 0.0)
+    return jnp.mean(elt)
+
+
+# Every name the reference could resolve through its "nn" prepopulation of
+# torch losses (registry.py:160-203) — a config naming any of these works
+# here too. Aliases match the torch class names exactly.
 for _name, _fn in {
     "MSELoss": mse_loss,
     "L1Loss": l1_loss,
     "HuberLoss": huber_loss,
     "SmoothL1Loss": smooth_l1_loss,
+    "CrossEntropyLoss": cross_entropy_loss,
+    "NLLLoss": nll_loss,
+    "BCELoss": bce_loss,
+    "BCEWithLogitsLoss": bce_with_logits_loss,
+    "KLDivLoss": kldiv_loss,
 }.items():
     def _make(fn):
         def factory():

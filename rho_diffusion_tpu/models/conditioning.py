@@ -12,12 +12,40 @@ jit-compatible, no data-dependent shapes.
 """
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any, Callable, Mapping
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from rho_diffusion_tpu.registry import registry
+
+
+def classifier_grad_fn(
+    classifier_apply: Callable,
+    y: jnp.ndarray,
+    scale: float = 1.0,
+) -> Callable:
+    """Build the ``cond_grad_fn`` for classifier guidance.
+
+    Returns ``grad_fn(x, t) = scale * grad_x log p(y | x, t)`` — the
+    quantity condition_mean/condition_score consume (reference
+    gaussian_diffusion.py:473-510; the reference never shipped a working
+    classifier hook, conditioning.py:142-155).
+
+    ``classifier_apply(x, t) -> logits [B, num_classes]``; ``y``: integer
+    class targets [B].
+    """
+
+    def grad_fn(x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+        def log_prob(x_in):
+            logits = classifier_apply(x_in, t)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return jnp.sum(jnp.take_along_axis(logp, y[:, None], axis=-1))
+
+        return scale * jax.grad(log_prob)(x)
+
+    return grad_fn
 
 
 @registry.register_layer("MultiEmbeddings")
@@ -83,9 +111,16 @@ class ClassifierGuidance(nn.Module):
     classifier: Any = None
     guidance_scale: float = 1.0
 
+    def grad_fn(self, y: jnp.ndarray) -> Any:
+        """The ``cond_grad_fn`` to pass into reverse_process for targets
+        ``y`` (see classifier_grad_fn; driven end-to-end in
+        tests/pipeline/test_gaussian_pipeline.py)."""
+        assert self.classifier is not None, "attach a classifier apply fn"
+        return classifier_grad_fn(self.classifier, y, self.guidance_scale)
+
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError(
             "ClassifierGuidance is applied at sampling time via "
-            "GaussianDiffusion.condition_mean/condition_score, not as an "
-            "embedding cond_fn.",
+            "GaussianDiffusion.condition_mean/condition_score (build the "
+            "hook with .grad_fn(y)), not as an embedding cond_fn.",
         )

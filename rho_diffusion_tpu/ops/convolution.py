@@ -27,6 +27,32 @@ from flax import linen as nn
 # see Conv3dVia2d below; toggled via env RHO_CONV3D_VIA_2D=1 (read at import)
 CONV3D_VIA_2D = os.environ.get("RHO_CONV3D_VIA_2D") == "1"
 
+# Pallas 3-D conv kernel (ops/pallas/conv3d.py) for stride-1 SAME 3x3x3
+# convs on TPU. "auto" uses it whenever the backend is TPU; "1" forces it
+# (interpret-mode off-TPU would be slow — tests call conv3d directly);
+# "0" disables. Default OFF until the kernel beats XLA end-to-end
+# (benchmarks/conv3d_ab.py tracks the A/B). Runtime: set_conv3d_backend.
+_CONV3D_PALLAS_MODE = os.environ.get("RHO_CONV3D_PALLAS", "0")
+
+
+def set_conv3d_backend(mode: str) -> None:
+    """Select the 3-D conv backend: "auto" (Pallas on TPU), "0" (XLA),
+    "1" (force Pallas)."""
+    global _CONV3D_PALLAS_MODE
+    assert mode in ("auto", "0", "1")
+    _CONV3D_PALLAS_MODE = mode
+
+
+def _use_pallas_conv3d() -> bool:
+    if _CONV3D_PALLAS_MODE == "1":
+        return True
+    if _CONV3D_PALLAS_MODE == "auto":
+        try:
+            return jax.default_backend() == "tpu"
+        except RuntimeError:
+            return False
+    return False
+
 
 def conv_nd(
     dims: int,
@@ -44,6 +70,16 @@ def conv_nd(
     """
     if isinstance(stride, int):
         stride = (stride,) * dims
+    if (
+        dims == 3
+        and kernel_size == 3
+        and tuple(stride) == (1, 1, 1)
+        and padding == "SAME"
+        and _use_pallas_conv3d()
+    ):
+        return Conv3dPallas(
+            features=features, zero_init=zero_init, dtype=dtype, name=name,
+        )
     if CONV3D_VIA_2D and dims == 3 and kernel_size == 3 and stride[0] == 1 \
             and padding == "SAME":
         return Conv3dVia2d(
@@ -157,6 +193,41 @@ class Downsample(nn.Module):
 def mean_flat(x: jnp.ndarray) -> jnp.ndarray:
     """Mean over all non-batch dimensions (reference layers.py:105-110)."""
     return jnp.mean(x, axis=tuple(range(1, x.ndim)))
+
+
+class Conv3dPallas(nn.Module):
+    """3x3x3 stride-1 SAME conv on the Pallas TPU kernel
+    (ops/pallas/conv3d.py — im2col-in-VMEM, 3*Cin-deep MXU reductions;
+    XLA's fwd conv measured 24-44% MFU at the flagship shapes).
+
+    Parameters are stored in the standard [3,3,3,Cin,Cout] 'kernel' +
+    [Cout] 'bias' layout, so checkpoints are interchangeable with nn.Conv.
+    Backward: Pallas dgrad + XLA wgrad (custom VJP in the kernel module).
+    """
+
+    features: int
+    zero_init: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from rho_diffusion_tpu.ops.pallas.conv3d import conv3d
+
+        cin = x.shape[-1]
+        init = (
+            nn.initializers.zeros
+            if self.zero_init
+            else nn.initializers.lecun_normal()
+        )
+        kernel = self.param(
+            "kernel", init, (3, 3, 3, cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32,
+        )
+        dt = self.dtype or x.dtype
+        out = conv3d(x.astype(dt), kernel.astype(dt))
+        return out + bias.astype(out.dtype)
 
 
 class Conv3dVia2d(nn.Module):

@@ -139,3 +139,72 @@ def test_validation_step(batch):
     # params untouched
     m2 = pipe.validation_step(state, batch)
     np.testing.assert_allclose(float(m["train_loss"]), float(m2["train_loss"]))
+
+
+def test_classifier_guidance_end_to_end(batch):
+    """Drive cond_grad_fn through BOTH samplers with a real (toy, trained-
+    for-2-steps) classifier — the path the reference only stubbed
+    (conditioning.py:142-155): guided samples must be finite, and guidance
+    must actually change the trajectory vs the unguided run."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from rho_diffusion_tpu.models.conditioning import (
+        ClassifierGuidance,
+        classifier_grad_fn,
+    )
+
+    class ToyClassifier(nn.Module):
+        num_classes: int = 3
+
+        @nn.compact
+        def __call__(self, x, t):
+            h = x.reshape(x.shape[0], -1)
+            h = nn.Dense(16)(h)
+            h = nn.silu(h + nn.Dense(16)(t[:, None].astype(jnp.float32)))
+            return nn.Dense(self.num_classes)(h)
+
+    clf = ToyClassifier()
+    cparams = clf.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 8, 8, 1)),
+        jnp.zeros((2,), jnp.int32),
+    )
+
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        model_var_type="fixed_large",
+        optimizer="AdamW",
+        opt_kwargs={"lr": 1e-3},
+    )
+    state = pipe.create_state(jax.random.PRNGKey(1))
+    state, _ = pipe.training_step(state, batch)
+
+    y = jnp.asarray([0, 2])
+    grad_fn = classifier_grad_fn(
+        lambda x, t: clf.apply(cparams, x, t), y, scale=5.0,
+    )
+    common = dict(shape=(2, 8, 8, 1), conditions=None, num_steps=5)
+    for sampler in ("ddim", "ddpm"):
+        guided = pipe.reverse_process(
+            state.params, jax.random.PRNGKey(2), sampler=sampler,
+            cond_grad_fn=grad_fn, **common,
+        )
+        unguided = pipe.reverse_process(
+            state.params, jax.random.PRNGKey(2), sampler=sampler, **common,
+        )
+        assert np.isfinite(np.asarray(guided)).all(), sampler
+        assert float(np.abs(np.asarray(guided) - np.asarray(unguided)).max()) > 1e-6
+
+    # the module-level hook builds the same grad_fn
+    module = ClassifierGuidance(
+        classifier=lambda x, t: clf.apply(cparams, x, t), guidance_scale=5.0,
+    )
+    g1 = module.grad_fn(y)(
+        jnp.ones((2, 8, 8, 1)), jnp.zeros((2,), jnp.int32),
+    )
+    g2 = grad_fn(jnp.ones((2, 8, 8, 1)), jnp.zeros((2,), jnp.int32))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
