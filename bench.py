@@ -38,7 +38,9 @@ def _previous_bench_value() -> float | None:
         try:
             with open(path) as f:
                 payload = json.load(f)
-            value = float(payload.get("value"))
+            # the driver nests the bench line under "parsed"
+            raw = payload.get("value", (payload.get("parsed") or {}).get("value"))
+            value = float(raw)
         except Exception:
             continue
         rnd = int(m.group(1))

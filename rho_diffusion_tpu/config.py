@@ -80,11 +80,19 @@ class TrainingConfig(BaseModel):
     # Shard large parameter kernels' output channels over the context axis
     # (tensor parallelism; GSPMD inserts the collectives).
     tensor_parallel: bool = False
+    # Spatial context parallelism: shard the volume's depth axis over the
+    # context axis (GSPMD conv halo exchange + norm psums; ring attention
+    # picks up the token sharding). Needs mesh.context > 1.
+    spatial_sharding: bool = False
     tp_min_dim: int = 64  # smallest channel count worth sharding
     # ZeRO-1: shard optimizer moments (and the EMA shadow) over the data
     # axis — 1/N memory per device (the reference's commented
     # deepspeed_stage_1, scripts/training.py:139).
     zero1: bool = False
+    # Metric sinks, resolved via the "loggers" registry category
+    # ("stdout" | "jsonl" | "csv" | "mlflow"); the default reproduces the
+    # stdout + metrics.jsonl behaviour.
+    loggers: list[Any] = ["stdout", "jsonl"]
 
 
 class InferenceConfig(BaseModel):

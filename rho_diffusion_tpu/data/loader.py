@@ -186,6 +186,7 @@ def prefetch_to_device(
     iterator: Iterator[dict],
     sharding: Optional[Any] = None,
     size: int = 2,
+    per_key: Optional[dict] = None,
 ) -> Iterator[dict]:
     """Move numpy batches onto device(s) ahead of consumption.
 
@@ -203,15 +204,16 @@ def prefetch_to_device(
     def put(batch: dict) -> dict:
         out = {}
         for k, v in batch.items():
+            sh = (per_key or {}).get(k, sharding)
             if v is None:
                 out[k] = None
-            elif sharding is not None:
+            elif sh is not None:
                 if multi_host:
                     out[k] = jax.make_array_from_process_local_data(
-                        sharding, np.asarray(v),
+                        sh, np.asarray(v),
                     )
                 else:
-                    out[k] = jax.device_put(v, sharding)
+                    out[k] = jax.device_put(v, sh)
             else:
                 out[k] = jax.device_put(v)
         return out

@@ -24,9 +24,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Sequences at least this long route to the Pallas flash kernel on TPU
-# (state-chained sweep on v5e, d=64: flash 1.78x at T=512, ~parity at 1024,
-# 1.15x at 2048, 2.54x at 4096 — wins or ties from 512 up).
+# Sequences at least this long route to the Pallas flash kernel on TPU.
+# Round-2 sweep (benchmarks/flash_fwd_sweep.py, B*H=128, d=64, chained):
+# fwd vs standalone XLA attention is 1.28x/1.65x/1.29x at T=1024/2048/4096
+# (1.96x at 16384, round 1) with the default 1024/1024 blocks. At T=512 the
+# standalone sweep says 0.82x, but the END-TO-END flagship bench says flash
+# wins there too (2.4398 vs 2.4316 steps/s with xla at 512 — in-model the
+# XLA attention fuses worse than it benches alone), so dispatch from 512.
 FLASH_MIN_SEQ_LEN = 512
 
 

@@ -73,8 +73,15 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, CONTEXT_AXIS))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis; replicate the rest."""
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis.
+
+    ``spatial=True`` additionally shards dim 1 — the depth axis of
+    [B, D, H, W, C] volumes — over the context axis (spatial context
+    parallelism: GSPMD inserts conv halo exchanges and cross-shard norm
+    psums; see parallel/spatial.py)."""
+    if spatial and mesh.shape.get(CONTEXT_AXIS, 1) > 1:
+        return NamedSharding(mesh, P(DATA_AXIS, CONTEXT_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

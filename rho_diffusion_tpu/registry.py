@@ -29,6 +29,9 @@ class Registry:
             "schedules": {},
             "optimizers": {},
             "lr_schedulers": {},
+            # metric-logger sinks (TPU-native addition; the reference's
+            # MLflow was declared-but-dead, conda.yml:10, ddpm.py:348-354)
+            "loggers": {},
         }
 
     # -- generic machinery ---------------------------------------------------
@@ -97,6 +100,9 @@ class Registry:
 
     def register_lr_scheduler(self, name: str | None = None) -> Callable:
         return self.register("lr_schedulers", name)
+
+    def register_logger(self, name: str | None = None) -> Callable:
+        return self.register("loggers", name)
 
 
 registry = Registry()

@@ -1,0 +1,160 @@
+"""Pluggable metric loggers.
+
+The reference's observability was Lightning ``self.log`` + commented-out
+MLflow calls (reference ddpm.py:348-354, conda.yml:10 — MLflow was a
+declared dependency that no live code path used). Here logging is a small
+protocol so experiment trackers can be attached without touching the
+Trainer: each logger receives every metrics record (a flat JSON-able dict)
+and lifecycle events.
+
+Built-ins: stdout (pretty one-liners), jsonl (append to metrics.jsonl — the
+machine-readable record), csv, and mlflow (activates only when the mlflow
+package is importable; otherwise constructing it raises with instructions —
+nothing in the default path imports it).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Optional, Protocol
+
+from rho_diffusion_tpu.registry import registry
+
+__all__ = [
+    "Logger",
+    "StdoutLogger",
+    "JSONLLogger",
+    "CSVLogger",
+    "MLflowLogger",
+    "build_loggers",
+]
+
+
+class Logger(Protocol):
+    """One metrics sink. ``record`` is a flat dict of JSON-able values."""
+
+    def log(self, record: dict[str, Any]) -> None: ...
+
+    def close(self) -> None: ...
+
+
+@registry.register_logger("stdout")
+class StdoutLogger:
+    def log(self, record: dict[str, Any]) -> None:
+        pretty = " ".join(
+            f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in record.items()
+        )
+        print(pretty, flush=True)
+
+    def close(self) -> None:
+        pass
+
+
+@registry.register_logger("jsonl")
+class JSONLLogger:
+    def __init__(self, path: str | Path = "metrics.jsonl") -> None:
+        self.path = Path(path)
+        self._f = None
+
+    def log(self, record: dict[str, Any]) -> None:
+        if self._f is None:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._f = open(self.path, "a")
+        self._f.write(json.dumps(record) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
+@registry.register_logger("csv")
+class CSVLogger:
+    """Append records to a CSV; the header is the union of keys seen when
+    the first record arrives (later unknown keys are dropped)."""
+
+    def __init__(self, path: str | Path = "metrics.csv") -> None:
+        self.path = Path(path)
+        self._f = None
+        self._fields: Optional[list[str]] = None
+
+    def log(self, record: dict[str, Any]) -> None:
+        import csv
+
+        if self._f is None:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._f = open(self.path, "a", newline="")
+            self._fields = list(record.keys())
+            self._writer = csv.DictWriter(
+                self._f, fieldnames=self._fields, extrasaction="ignore",
+            )
+            if self.path.stat().st_size == 0:
+                self._writer.writeheader()
+        self._writer.writerow(record)
+        self._f.flush()
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
+@registry.register_logger("mlflow")
+class MLflowLogger:
+    """MLflow tracker (the reference declared mlflow but never wired it).
+
+    Requires the ``mlflow`` package; numeric values become metrics (stepped
+    by the record's "step" when present), strings become tags.
+    """
+
+    def __init__(self, experiment: str = "rho_diffusion_tpu", **kwargs) -> None:
+        try:
+            import mlflow
+        except ImportError as e:  # pragma: no cover - mlflow not in image
+            raise ImportError(
+                "MLflowLogger requires the 'mlflow' package "
+                "(pip install mlflow), which is not installed.",
+            ) from e
+        self._mlflow = mlflow
+        mlflow.set_experiment(experiment)
+        self._run = mlflow.start_run(**kwargs)
+
+    def log(self, record: dict[str, Any]) -> None:  # pragma: no cover
+        step = record.get("step")
+        metrics = {
+            k: float(v) for k, v in record.items()
+            if isinstance(v, (int, float)) and k != "step"
+        }
+        if metrics:
+            self._mlflow.log_metrics(metrics, step=step)
+        for k, v in record.items():
+            if isinstance(v, str):
+                self._mlflow.set_tag(k, v)
+
+    def close(self) -> None:  # pragma: no cover
+        self._mlflow.end_run()
+
+
+def build_loggers(specs, work_dir: str | Path) -> list:
+    """Resolve logger specs — names ("jsonl"), (name, kwargs) pairs, or
+    ready Logger instances — against the registry. File-backed loggers
+    default their paths into ``work_dir``."""
+    work_dir = Path(work_dir)
+    defaults = {
+        "jsonl": {"path": work_dir / "metrics.jsonl"},
+        "csv": {"path": work_dir / "metrics.csv"},
+    }
+    out = []
+    for spec in specs:
+        if hasattr(spec, "log"):
+            out.append(spec)
+            continue
+        if isinstance(spec, str):
+            name, kwargs = spec, {}
+        else:
+            name, kwargs = spec
+        kwargs = {**defaults.get(name, {}), **kwargs}
+        out.append(registry.get("loggers", name)(**kwargs))
+    return out

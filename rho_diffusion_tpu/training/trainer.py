@@ -21,7 +21,7 @@ What Lightning strategies/plugins did there is compile-time SPMD here:
 """
 from __future__ import annotations
 
-import json
+import signal
 import time
 from pathlib import Path
 from typing import Optional
@@ -134,6 +134,7 @@ class Trainer:
         work_dir: str | Path = ".",
         mesh=None,
         profile_dir: Optional[str] = None,
+        loggers=None,
     ) -> None:
         self.config = config
         self.work_dir = Path(work_dir)
@@ -146,10 +147,13 @@ class Trainer:
 
         if mesh is None:
             mesh_cfg = config.training.mesh or {}
-            mesh = make_mesh(
-                data=int(mesh_cfg.get("data", -1)),
-                context=int(mesh_cfg.get("context", 1)),
-            )
+            data = int(mesh_cfg.get("data", -1))
+            context = int(mesh_cfg.get("context", 1))
+            devices = None
+            if data != -1 and data * context < len(jax.devices()):
+                # config asks for a sub-mesh (e.g. small-batch debugging)
+                devices = jax.devices()[: data * context]
+            mesh = make_mesh(data=data, context=context, devices=devices)
         self.mesh = mesh
         self.world_size = self.mesh.devices.size
         data_size = self.mesh.shape["data"]
@@ -205,21 +209,19 @@ class Trainer:
         self.checkpoints = CheckpointManager(ckpt_dir)
         self.metrics_path = self.work_dir / "metrics.jsonl"
         self.profile_dir = profile_dir
-        self._log_f = None
+        from rho_diffusion_tpu.training.loggers import build_loggers
+
+        self.loggers = build_loggers(
+            loggers if loggers is not None else config.training.loggers,
+            self.work_dir,
+        )
 
     # -- logging --------------------------------------------------------
     def log(self, record: dict) -> None:
         if jax.process_index() != 0:
             return
-        if self._log_f is None:
-            self._log_f = open(self.metrics_path, "a")
-        self._log_f.write(json.dumps(record) + "\n")
-        self._log_f.flush()
-        pretty = " ".join(
-            f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}"
-            for k, v in record.items()
-        )
-        print(pretty, flush=True)
+        for lg in self.loggers:
+            lg.log(record)
 
     # -- state ----------------------------------------------------------
     def init_state(self, resume: bool = True, weights_path: Optional[str] = None) -> TrainState:
@@ -317,19 +319,48 @@ class Trainer:
         if state is None:
             state = self.init_state()
         epochs = max_epochs if max_epochs is not None else cfg.max_epochs
+        # spatial sharding applies to the 5-D volume only; labels/masks
+        # keep plain batch sharding
         sharding = batch_sharding(self.mesh)
+        per_key = (
+            {"data": batch_sharding(self.mesh, spatial=True)}
+            if cfg.spatial_sharding
+            else None
+        )
         log_every = max(cfg.log_every_n_steps, 1)
         bench = cfg.benchmark_mode
+
+        # Preemption handling (absent in the reference, SURVEY §5): on
+        # SIGTERM/SIGINT (TPU maintenance events, scheduler evictions) set a
+        # flag; the step loop checkpoints the full train state and exits
+        # cleanly so auto-resume continues from the same step.
+        preempted: list = []
+
+        def _on_signal(signum, frame):
+            preempted.append(signum)
+
+        prev_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread
+                pass
 
         if self.profile_dir:
             jax.profiler.start_trace(self.profile_dir)
         try:
             step_times: list[float] = []
             for epoch in range(epochs):
+                if preempted:
+                    break
                 self.loader.set_epoch(epoch)
                 epoch_loss, n_steps = 0.0, 0
                 t_step = time.perf_counter()
-                for batch in prefetch_to_device(iter(self.loader), sharding):
+                for batch in prefetch_to_device(
+                    iter(self.loader), sharding, per_key=per_key,
+                ):
+                    if preempted:
+                        break
                     # active_mesh (not bare `with mesh`) so trace-time
                     # dispatch — e.g. ring attention on context>1 meshes —
                     # can see the mesh (parallel/mesh.py:get_active_mesh)
@@ -360,6 +391,16 @@ class Trainer:
                             rec["steps_per_sec"] = 1.0 / max(dt, 1e-9)
                             step_times.append(dt)
                         self.log(rec)
+                if preempted:
+                    # checkpoint-on-signal: persist the full train state and
+                    # exit cleanly so auto-resume continues from this step
+                    self.checkpoints.save(state, wait=True)
+                    self.log({
+                        "event": "preempted",
+                        "signal": int(preempted[0]),
+                        "step": int(state.step),
+                    })
+                    break  # skip epoch hooks
                 self.maybe_validate(state, epoch)
                 self.maybe_sample(state, epoch)
                 self.maybe_checkpoint(state, epoch)
@@ -376,7 +417,11 @@ class Trainer:
         finally:
             if self.profile_dir:
                 jax.profiler.stop_trace()
+            for sig, handler in prev_handlers.items():
+                signal.signal(sig, handler)
         self.checkpoints.save(state, wait=True)
         if jax.process_index() == 0:
             save_model_weights(state.params, self.work_dir / "model.npz")
+        for lg in self.loggers:
+            lg.close()
         return state

@@ -132,3 +132,40 @@ def test_remat_variant_matches():
     o1 = m1.apply({"params": params}, x, t)
     o2 = m2.apply({"params": params}, x, t)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_degenerate_depth_config_warns():
+    """Regression fence for the bisected backend bug (RESULTS.md "Known
+    backend issue"): 3D configs whose deep levels collapse to spatial
+    (N, 1, 1) produce one NaN gradient leaf on the tunneled-TPU backend.
+    The UNet must warn on such configs at trace time so users choose a
+    shallower channel_mult or a larger grid; this pins the warning path."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from rho_diffusion_tpu.models import UNet
+
+    model = UNet(
+        data_shape=(8, 8, 8), dims=3, in_channels=1, out_channels=1,
+        model_channels=8, num_res_blocks=1, channel_mult=(1, 2, 4, 8),
+        attention_resolutions=[],
+    )
+    x = jnp.zeros((1, 8, 8, 8, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        model.init(jax.random.PRNGKey(0), x, t)
+    assert any("shrinks below the 3x3" in str(w.message) for w in caught)
+
+    # a healthy config (inner dims stay >= 3 at the deepest level) is quiet
+    ok = UNet(
+        data_shape=(8, 8, 8), dims=3, in_channels=1, out_channels=1,
+        model_channels=8, num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions=[],
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        ok.init(jax.random.PRNGKey(0), x, t)
+    assert not any("shrinks below" in str(w.message) for w in caught)

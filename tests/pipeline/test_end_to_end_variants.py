@@ -111,6 +111,9 @@ def test_deep_galaxy_conditioned_training(tmp_path):
         "training": {"batch_size": 4, "max_epochs": 1, "seed": 0,
                       "dtype": "float32", "log_every_n_steps": 1,
                       "checkpoint_dir": str(tmp_path / "ck"),
+                      # batch 4 < 8 devices: select the mesh explicitly
+                      # (indivisible batches now hard-error by design)
+                      "mesh": {"data": 4},
                       "save_checkpoint_every_n_epochs": 0},
         "inference": {},
     }

@@ -208,3 +208,39 @@ def test_classifier_guidance_end_to_end(batch):
     )
     g2 = grad_fn(jnp.ones((2, 8, 8, 1)), jnp.zeros((2,), jnp.int32))
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
+
+
+def test_respaced_ancestral_ddpm_sampler(batch):
+    """Respacing applies to the ANCESTRAL sampler too (ROADMAP round-1 #7):
+    a 10-step respaced DDPM rollout must be finite and statistically close
+    to the full-T rollout (trained-ish model, shared x_T)."""
+    import jax.numpy as jnp
+
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(50, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        model_var_type="fixed_small",
+        optimizer="AdamW",
+        opt_kwargs={"lr": 1e-3},
+    )
+    state = pipe.create_state(jax.random.PRNGKey(0))
+    for _ in range(3):
+        state, _ = pipe.training_step(state, batch)
+
+    x_T = jax.random.normal(jax.random.PRNGKey(7), (4, 8, 8, 1))
+    full = pipe.reverse_process(
+        state.params, jax.random.PRNGKey(3), (4, 8, 8, 1), None,
+        sampler="ddpm", x_T=x_T,
+    )
+    fast = pipe.reverse_process(
+        state.params, jax.random.PRNGKey(3), (4, 8, 8, 1), None,
+        sampler="ddpm", num_steps=10, x_T=x_T,
+    )
+    assert np.isfinite(np.asarray(fast)).all()
+    assert fast.shape == full.shape
+    # same target distribution: clipped outputs, matching moments loosely
+    mf, sf = float(jnp.mean(full)), float(jnp.std(full))
+    mr, sr = float(jnp.mean(fast)), float(jnp.std(fast))
+    assert abs(mf - mr) < 0.5 and abs(sf - sr) < 0.5

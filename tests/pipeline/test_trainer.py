@@ -170,3 +170,42 @@ def test_tensor_parallel_and_zero1_from_config(tmp_path):
         and any(s is not None for s in (l.sharding.spec or ()))
     ]
     assert sharded_moments, "zero1 must shard optimizer moments"
+
+
+def test_loggers_pluggable(tmp_path):
+    """Logger seam: csv + jsonl sinks both receive records; the registry
+    resolves logger names (the reference's MLflow was declared-but-dead)."""
+    config = _config(tmp_path, loggers=["jsonl", "csv"])
+    trainer = Trainer(config, dataset=ToyDataset(), work_dir=tmp_path)
+    trainer.fit(max_epochs=1)
+    assert (tmp_path / "metrics.jsonl").exists()
+    csv_text = (tmp_path / "metrics.csv").read_text().splitlines()
+    assert csv_text[0].startswith("step,")
+    assert len(csv_text) >= 2
+
+
+def test_preemption_checkpoints_and_exits(tmp_path):
+    """SIGTERM mid-training must checkpoint the full state and return
+    cleanly (checkpoint-on-signal; neither reference nor round 1 had it)."""
+    import os
+    import signal as _signal
+
+    config = _config(tmp_path, max_epochs=50, save_checkpoint_every_n_epochs=0)
+    trainer = Trainer(config, dataset=ToyDataset(), work_dir=tmp_path)
+
+    calls = {"n": 0}
+    orig = trainer.pipeline.training_step
+
+    def stepping(state, batch):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            os.kill(os.getpid(), _signal.SIGTERM)
+        return orig(state, batch)
+
+    trainer.pipeline.training_step = stepping
+    state = trainer.fit()  # must RETURN (not die) despite the SIGTERM
+    assert calls["n"] <= 4, "training should stop shortly after the signal"
+    assert trainer.checkpoints.latest_step() is not None
+    lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert any(l.get("event") == "preempted" for l in lines)
+    assert int(state.step) >= 2
