@@ -127,7 +127,7 @@ def main() -> None:
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     mc = 16 if smoke else 64
 
-    mode = os.environ.get("BENCH_MODE", "train")
+    mode = os.environ.get("BENCH_MODE", "train")  # train|sample|realdata
     backbone_kwargs = dict(
         data_shape=(grid,) * 3,
         dims=3,
@@ -156,6 +156,53 @@ def main() -> None:
         ema_decay=0.9999,
     )
     state = pipe.create_state(jax.random.PRNGKey(777))
+
+    if mode == "realdata":
+        # REAL on-the-fly spherical-harmonics data through the full host
+        # pipeline (DataLoader threads + prefetch + the (l,m) field cache)
+        # — the number that was 1.59 vs 2.22 steps/s pure-compute in
+        # round 1 (RESULTS.md "Flagship-scale run").
+        from rho_diffusion_tpu.data import DataLoader, SphericalHarmonicDataset
+        from rho_diffusion_tpu.data.loader import prefetch_to_device
+
+        dset = SphericalHarmonicDataset(
+            max_l=5, grid_el=grid, length=max(batch * (steps + warmup + 2), 256),
+        )
+        loader = DataLoader(dset, batch_size=batch, num_workers=4)
+
+        def run(n):
+            nonlocal state
+            it = prefetch_to_device(iter(loader))
+            metrics = None
+            for i, b in enumerate(it):
+                if i >= n:
+                    break
+                state, metrics = pipe.training_step(state, b)
+            jax.block_until_ready(metrics["train_loss"])
+            return metrics
+
+        t_compile = time.perf_counter()
+        metrics = run(max(warmup, 1))
+        compile_s = time.perf_counter() - t_compile
+        t0 = time.perf_counter()
+        metrics = run(steps)
+        elapsed = time.perf_counter() - t0
+        n_chips = max(jax.device_count(), 1)
+        value = steps / elapsed / n_chips
+        prev = _previous_bench_value()
+        print(
+            f"backend={jax.default_backend()} mode=realdata batch={batch} "
+            f"grid={grid} warmup+compile={compile_s:.1f}s elapsed={elapsed:.2f}s "
+            f"loss={float(metrics['train_loss']):.4f}",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "train_steps_per_sec_per_chip_3d_unet_realdata",
+            "value": round(value, 4),
+            "unit": "steps/sec/chip",
+            "vs_baseline": round(value / prev, 4) if prev else 1.0,
+        }))
+        return
 
     rng = np.random.default_rng(0)
     data = rng.uniform(0.0, 1.0, (batch, grid, grid, grid, 1)).astype(np.float32)

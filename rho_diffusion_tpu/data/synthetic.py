@@ -145,6 +145,7 @@ class SphericalHarmonicDataset(MultiVariateDataset):
         # field. Disable for huge grids/max_l via cache_fields=False.
         self.cache_fields = cache_fields
         self._field_cache: dict[tuple[int, int], np.ndarray] = {}
+        self._label_cache: dict[tuple[int, int], np.ndarray] = {}
 
     # -- random quantum numbers (reference synthetic.py:244-254) ----------
     def random_set(self) -> tuple[int, int]:
@@ -168,8 +169,12 @@ class SphericalHarmonicDataset(MultiVariateDataset):
         c = {"l": int(l), "m": int(m)}
         if not self.use_emb_as_labels:
             return np.asarray([l, m], dtype=np.float32)
+        cached = self._label_cache.get((l, m))
+        if cached is not None:
+            return cached
         emb = calculate_sha512_embedding(c, l=256)
         self.labels_emb_map[emb.tobytes()] = c
+        self._label_cache[(l, m)] = emb
         return emb
 
     def __getitem__(self, index: int):
