@@ -72,19 +72,21 @@ def _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke) -> None
     n = min(batch, 8)
     conds = jnp.zeros((n, 4 * mc), jnp.float32)
 
-    def sample(rng):
+    def sample(params, rng):
+        # params as an ARGUMENT, not a closure: captured params become
+        # giant MLIR constants and blow the remote-compile payload limit
         return pipe.reverse_process(
             params, rng, pipe.sample_shape(n), conds,
             sampler="ddim", num_steps=steps,
         )
 
     fn = jax.jit(sample)
-    out = fn(jax.random.PRNGKey(1))
+    out = fn(params, jax.random.PRNGKey(1))
     jax.block_until_ready(out)
     iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
-        out = fn(jax.random.PRNGKey(i))
+        out = fn(params, jax.random.PRNGKey(i))
     jax.block_until_ready(out)
     wall = (time.perf_counter() - t0) / iters
     finite = bool(np.isfinite(np.asarray(out)).all())

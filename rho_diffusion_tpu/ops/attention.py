@@ -99,4 +99,16 @@ def attention(
             # full attention is exact and cheap at these sizes
             return xla_attention(q, k, v)
         return context_sharded_attention(q, k, v, get_active_mesh())
+    if backend == "ulysses":
+        from rho_diffusion_tpu.parallel.mesh import CONTEXT_AXIS, get_active_mesh
+        from rho_diffusion_tpu.parallel.ulysses import ulysses_sharded_attention
+
+        mesh = get_active_mesh()
+        if (
+            not _ring_capable(q)
+            or q.shape[2] % mesh.shape[CONTEXT_AXIS] != 0
+        ):
+            # needs heads % context == 0 on top of the ring conditions
+            return xla_attention(q, k, v)
+        return ulysses_sharded_attention(q, k, v, mesh)
     raise ValueError(f"Unknown attention backend '{backend}'")

@@ -15,6 +15,14 @@ from rho_diffusion_tpu.parallel.context import (  # noqa: F401
     context_sharded_attention,
     ring_attention,
 )
+from rho_diffusion_tpu.parallel.spatial import (  # noqa: F401
+    halo_exchange,
+    spatial_sharded_conv3d,
+)
+from rho_diffusion_tpu.parallel.ulysses import (  # noqa: F401
+    ulysses_attention,
+    ulysses_sharded_attention,
+)
 from rho_diffusion_tpu.parallel.runtime import (  # noqa: F401
     accelerator_available,
     barrier,

@@ -346,3 +346,38 @@ def test_spatial_sharding_full_model_loss_parity():
     np.testing.assert_allclose(
         float(m_sp["train_loss"]), float(m_dp["train_loss"]), rtol=2e-5,
     )
+
+
+def test_ulysses_attention_matches_full_attention():
+    """Ulysses all-to-all head-scatter SP (SURVEY §5's alternative to ring
+    when heads >= shards): exact vs single-device full attention, values
+    and gradients."""
+    from rho_diffusion_tpu.parallel import ulysses_sharded_attention
+
+    mesh = make_mesh(data=2, context=4)
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (jax.random.normal(kk, (4, 32, 4, 8)) for kk in keys)  # H=4=ctx
+    ref = xla_attention(q, k, v)
+    out = ulysses_sharded_attention(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    g1 = jax.grad(lambda q: jnp.sum(ulysses_sharded_attention(q, k, v, mesh) ** 2))(q)
+    g2 = jax.grad(lambda q: jnp.sum(xla_attention(q, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-5)
+
+
+def test_ulysses_backend_dispatch_and_fallback():
+    """attention(backend="ulysses") under an active context mesh == full
+    attention; falls back to xla when heads don't divide the context axis."""
+    from rho_diffusion_tpu.ops.attention import attention
+    from rho_diffusion_tpu.parallel import active_mesh
+
+    keys = jax.random.split(jax.random.PRNGKey(4), 3)
+    q, k, v = (jax.random.normal(kk, (2, 16, 2, 8)) for kk in keys)
+    ref = xla_attention(q, k, v)
+    with active_mesh(make_mesh(data=4, context=2)):
+        out = attention(q, k, v, backend="ulysses")  # H=2 divisible by 2
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    with active_mesh(make_mesh(data=2, context=4)):
+        out = attention(q, k, v, backend="ulysses")  # H=2 not divisible by 4
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -135,3 +135,15 @@ def test_deep_galaxy_conditioned_training(tmp_path):
     trainer = Trainer(config, dataset=ds, work_dir=tmp_path)
     state = trainer.fit(max_epochs=1)
     assert int(state.step) >= 1
+
+
+def test_multichip_example_config_parses_and_selects_layout():
+    """examples/config_multichip.json: the documented multi-chip recipe
+    (data x context mesh, spatial sharding, ZeRO-1) must parse and produce
+    the right Trainer layout on the 8-device test platform."""
+    from rho_diffusion_tpu.config import ExperimentConfig
+
+    cfg = ExperimentConfig.from_json("examples/config_multichip.json")
+    assert cfg.training.mesh == {"data": 4, "context": 2}
+    assert cfg.training.spatial_sharding and cfg.training.zero1
+    assert cfg.training.batch_size % 4 == 0
