@@ -187,6 +187,106 @@ def LinearLR(
     )
 
 
+@registry.register_lr_scheduler("MultiStepLR")
+def MultiStepLR(
+    base_lr: float,
+    steps_per_epoch: int,
+    milestones: list,
+    gamma: float = 0.1,
+    **_: Any,
+) -> optax.Schedule:
+    """torch.optim.lr_scheduler.MultiStepLR: multiply by gamma at each
+    milestone epoch."""
+    boundaries = {
+        int(m * steps_per_epoch): gamma for m in sorted(milestones)
+    }
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+@registry.register_lr_scheduler("ConstantLR")
+def ConstantLR(
+    base_lr: float,
+    steps_per_epoch: int,
+    factor: float = 1.0 / 3.0,
+    total_iters: int = 5,
+    **_: Any,
+) -> optax.Schedule:
+    """torch ConstantLR: base_lr*factor for total_iters epochs, then base_lr."""
+    switch = max(int(total_iters * steps_per_epoch), 1)
+    return optax.join_schedules(
+        [optax.constant_schedule(base_lr * factor),
+         optax.constant_schedule(base_lr)],
+        [switch],
+    )
+
+
+@registry.register_lr_scheduler("PolynomialLR")
+def PolynomialLR(
+    base_lr: float,
+    steps_per_epoch: int,
+    total_iters: int = 5,
+    power: float = 1.0,
+    **_: Any,
+) -> optax.Schedule:
+    return optax.polynomial_schedule(
+        base_lr, 0.0, power, max(int(total_iters * steps_per_epoch), 1),
+    )
+
+
+@registry.register_lr_scheduler("CosineAnnealingWarmRestarts")
+def CosineAnnealingWarmRestarts(
+    base_lr: float,
+    steps_per_epoch: int,
+    T_0: int,
+    T_mult: int = 1,
+    eta_min: float = 0.0,
+    n_restarts: int = 16,
+    **_: Any,
+) -> optax.Schedule:
+    """torch SGDR: cosine periods of T_0, T_0*T_mult, ... epochs."""
+    alpha = eta_min / base_lr if base_lr > 0 else 0.0
+    schedules, boundaries, t = [], [], 0
+    period = max(int(T_0 * steps_per_epoch), 1)
+    for _i in range(max(n_restarts, 1)):
+        schedules.append(
+            optax.cosine_decay_schedule(base_lr, period, alpha=alpha),
+        )
+        t += period
+        boundaries.append(t)
+        period *= max(int(T_mult), 1)
+    # hold at eta_min after the modelled restarts
+    schedules.append(optax.constant_schedule(base_lr * alpha))
+    return optax.join_schedules(schedules, boundaries)
+
+
+@registry.register_lr_scheduler("OneCycleLR")
+def OneCycleLR(
+    base_lr: float,
+    steps_per_epoch: int,
+    max_lr: float,
+    total_steps: int = 0,
+    epochs: int = 0,
+    pct_start: float = 0.3,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1e4,
+    **_: Any,
+) -> optax.Schedule:
+    """torch OneCycleLR (cosine annealing strategy)."""
+    total = int(total_steps) or max(int(epochs * steps_per_epoch), 1)
+    up = max(int(total * pct_start), 1)
+    init = max_lr / div_factor
+    final = init / final_div_factor
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(init, max_lr, up),
+            optax.cosine_decay_schedule(
+                max_lr, max(total - up, 1), alpha=final / max_lr,
+            ),
+        ],
+        [up],
+    )
+
+
 def build_lr_schedule(
     name: Optional[str],
     base_lr: float,

@@ -82,3 +82,40 @@ def test_find_nonfinite_and_check():
     with pytest.raises(FloatingPointError, match="bad"):
         check_finite(tree, context="unit-test")
     check_finite({"ok": jnp.ones(2)})  # no raise
+
+
+def test_torch_named_lr_schedulers_resolve_and_behave():
+    """Every common torch scheduler name resolves via the registry and
+    follows torch semantics at the checkpoints below (reference registry
+    resolved any torch scheduler by name)."""
+    import numpy as np
+
+    from rho_diffusion_tpu.registry import registry
+
+    spe = 10  # steps per epoch
+
+    def sched(name, **kw):
+        return registry.get("lr_schedulers", name)(1.0, spe, **kw)
+
+    s = sched("MultiStepLR", milestones=[2, 4], gamma=0.1)
+    np.testing.assert_allclose(float(s(0)), 1.0)
+    np.testing.assert_allclose(float(s(25)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(s(45)), 0.01, rtol=1e-6)
+
+    s = sched("ConstantLR", factor=0.5, total_iters=2)
+    np.testing.assert_allclose(float(s(5)), 0.5)
+    np.testing.assert_allclose(float(s(25)), 1.0)
+
+    s = sched("PolynomialLR", total_iters=2, power=1.0)
+    np.testing.assert_allclose(float(s(10)), 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(s(30)), 0.0, atol=1e-9)
+
+    s = sched("CosineAnnealingWarmRestarts", T_0=1, T_mult=2, eta_min=0.0)
+    np.testing.assert_allclose(float(s(0)), 1.0)
+    np.testing.assert_allclose(float(s(10)), 1.0)  # restart at T_0 epochs
+    assert 0.0 <= float(s(15)) < 1.0
+
+    s = sched("OneCycleLR", max_lr=2.0, epochs=4, pct_start=0.25)
+    np.testing.assert_allclose(float(s(10)), 2.0, rtol=1e-5)  # peak at 25%
+    assert float(s(0)) < 0.1  # starts at max_lr/div_factor
+    assert float(s(39)) < 0.01  # anneals far below the peak
