@@ -130,6 +130,7 @@ def main() -> None:
     mc = 16 if smoke else 64
 
     mode = os.environ.get("BENCH_MODE", "train")  # train|sample|realdata
+    remat = os.environ.get("BENCH_REMAT") == "1"  # the 64^3 memory recipe
     backbone_kwargs = dict(
         data_shape=(grid,) * 3,
         dims=3,
@@ -142,6 +143,7 @@ def main() -> None:
         num_heads=4,
         num_classes=20,
         use_scale_shift_norm=True,
+        use_checkpoint=remat,
         dtype=dtype,
     )
 
@@ -230,7 +232,7 @@ def main() -> None:
     prev = _previous_bench_value()
     vs_baseline = steps_per_sec_chip / prev if prev else 1.0
     result = {
-        "metric": "train_steps_per_sec_per_chip_3d_unet_32cubed_b32"
+        "metric": f"train_steps_per_sec_per_chip_3d_unet_{grid}cubed_b{batch}"
         if not smoke
         else "train_steps_per_sec_per_chip_smoke",
         "value": round(steps_per_sec_chip, 4),

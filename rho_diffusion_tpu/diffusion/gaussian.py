@@ -53,6 +53,11 @@ class ModelMeanType(enum.Enum):
     PREVIOUS_X = "previous_x"
     START_X = "start_x"
     EPSILON = "epsilon"
+    # v-parameterisation (Salimans & Ho, progressive distillation):
+    # v = sqrt(abar)*eps - sqrt(1-abar)*x0. The reference reached this only
+    # via HF DDPMScheduler(prediction_type="v_prediction")
+    # (reference diffusers.py:148-151); here it is a first-class mean type.
+    VELOCITY = "v_prediction"
 
 
 class ModelVarType(enum.Enum):
@@ -207,6 +212,23 @@ def predict_xstart_from_xprev(c: GaussianCoefficients, x_t, t, xprev):
     return xprev / coef1 - (coef2 / coef1) * x_t
 
 
+def predict_xstart_from_v(c: GaussianCoefficients, x_t, t, v):
+    """x0 = sqrt(abar)*x_t - sqrt(1-abar)*v (v-parameterisation inverse)."""
+    return (
+        extract(c.sqrt_alphas_cumprod, t, x_t.ndim) * x_t
+        - extract(c.sqrt_one_minus_alphas_cumprod, t, x_t.ndim) * v
+    )
+
+
+def velocity_target(c: GaussianCoefficients, x_start, t, noise):
+    """v = sqrt(abar)*eps - sqrt(1-abar)*x0 — the v-prediction training
+    target (reference reachable only via HF prediction_type, diffusers.py:148)."""
+    return (
+        extract(c.sqrt_alphas_cumprod, t, x_start.ndim) * noise
+        - extract(c.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * x_start
+    )
+
+
 def predict_eps_from_xstart(c: GaussianCoefficients, x_t, t, pred_xstart):
     return (
         extract(c.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t - pred_xstart
@@ -278,6 +300,10 @@ def p_mean_variance(
     else:
         if mean_type == ModelMeanType.START_X:
             pred_xstart = process_xstart(model_output)
+        elif mean_type == ModelMeanType.VELOCITY:
+            pred_xstart = process_xstart(
+                predict_xstart_from_v(c, x, t, model_output),
+            )
         else:  # EPSILON
             pred_xstart = process_xstart(
                 predict_xstart_from_eps(c, x, t, model_output),
@@ -406,27 +432,48 @@ def sample_loop(
     cond_grad_fn: Optional[Callable] = None,
     x_T: Optional[jnp.ndarray] = None,
     progressive: bool = False,
+    t_checkpoints=None,
 ):
     """Full sampling loop as one ``lax.scan`` over t = T-1..0 (replaces the
     reference's Python loops :558-652/762-824). ``progressive=True`` also
-    returns every intermediate x_t (reference *_progressive variants)."""
+    returns every intermediate x_t (reference *_progressive variants);
+    ``t_checkpoints`` (a list of ORIGINAL-process timesteps) instead fills a
+    strided [K, *shape] frame buffer like the reference's reverse_process
+    intermediate buffer (gaussian_diffusion.py:1041-1048, 1091-1097) without
+    materialising all T frames. Checkpoints compare against
+    ``timestep_map[t]`` so they hit under respacing too."""
     init_rng, scan_rng = jax.random.split(rng)
     x = jax.random.normal(init_rng, shape) if x_T is None else x_T
     step = p_sample_step if sampler == "ddpm" else ddim_sample_step
     kw = {"eta": eta} if sampler == "ddim" else {}
 
+    if t_checkpoints is not None and len(t_checkpoints) == 0:
+        t_checkpoints = None  # empty sequence == no checkpoint buffer
+    t_ckpt = None
+    buf = None
+    if t_checkpoints is not None:
+        t_ckpt = jnp.asarray(np.asarray(t_checkpoints), jnp.int32)
+        buf = jnp.zeros((t_ckpt.shape[0], *shape), x.dtype)
+
     def body(carry, t):
-        x, key = carry
+        x, key, buf = carry
         key, sub = jax.random.split(key)
         tt = jnp.full((shape[0],), t, jnp.int32)
         x, pred_x0 = step(
             c, model_fn, x, tt, sub, mean_type, var_type,
             clip_denoised=clip_denoised, cond_grad_fn=cond_grad_fn, **kw,
         )
-        return (x, key), (x if progressive else None)
+        if buf is not None:
+            hits = (t_ckpt == c.timestep_map[t]).reshape(
+                -1, *((1,) * x.ndim),
+            )
+            buf = jnp.where(hits, x[None], buf)
+        return (x, key, buf), (x if progressive else None)
 
     steps = jnp.arange(c.num_timesteps - 1, -1, -1)
-    (x, _), frames = jax.lax.scan(body, (x, scan_rng), steps)
+    (x, _, buf), frames = jax.lax.scan(body, (x, scan_rng, buf), steps)
+    if t_checkpoints is not None:
+        return x, buf
     return (x, frames) if progressive else x
 
 
@@ -496,6 +543,8 @@ def training_losses(
         target = q_posterior_mean_variance(c, x_start, x_t, t)[0]
     elif mean_type == ModelMeanType.START_X:
         target = x_start
+    elif mean_type == ModelMeanType.VELOCITY:
+        target = velocity_target(c, x_start, t, noise)
     else:
         target = noise
     terms["mse"] = mean_flat((target - model_output) ** 2)
@@ -671,13 +720,18 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         progressive: bool = False,
         cond_grad_fn=None,
         use_ema_params=None,
+        t_checkpoints=None,
     ):
         """DDIM (default, like the reference's reverse_process :1029-1099) or
-        ancestral sampling, optionally respaced to ``num_steps`` steps."""
+        ancestral sampling, optionally respaced to ``num_steps`` steps.
+        ``t_checkpoints`` (here or at construction) returns
+        ``(final, frames[K])`` — the reference's intermediate-frame buffer."""
         coeffs = self.coeffs
         if num_steps and num_steps < coeffs.num_timesteps:
             coeffs = respace(coeffs, num_steps)
         p = use_ema_params if use_ema_params is not None else params
+        if t_checkpoints is None:
+            t_checkpoints = self.t_checkpoints
         return sample_loop(
             coeffs,
             self._model_fn(p, conditions),
@@ -691,6 +745,7 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
             cond_grad_fn=cond_grad_fn,
             x_T=x_T,
             progressive=progressive,
+            t_checkpoints=t_checkpoints,
         )
 
     def generate(
@@ -726,6 +781,7 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
             self._sampler_cache[key] = jax.jit(
                 lambda p, r, c: self.reverse_process(
                     p, r, shape, c, sampler=sampler, num_steps=num_steps, eta=eta,
+                    t_checkpoints=(),  # final samples only, never the buffer
                 ),
             )
         return self._sampler_cache[key](params, rng, conditions)

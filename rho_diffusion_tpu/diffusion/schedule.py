@@ -210,19 +210,46 @@ def SigmoidSchedule(
     return schedule_from_betas(beta)
 
 
-def named_beta_schedule(name: str, num_steps: int) -> NoiseSchedule:
+def named_beta_schedule(
+    name: str,
+    num_steps: int,
+    beta_start: float | None = None,
+    beta_end: float | None = None,
+) -> NoiseSchedule:
     """Named beta schedules used by the GaussianDiffusion pipeline
-    (reference gaussian_diffusion.py:45-89).
+    (reference gaussian_diffusion.py:45-89) plus the HF DDPMScheduler
+    surface the reference's diffusers pipeline could reach
+    (reference diffusers.py:148-216 accepted any SchedulerMixin config).
 
-    * "linear": Ho et al. scaled-linear betas [0.0001, 0.02] * 1000/T.
+    * "linear": Ho et al. betas [0.0001, 0.02] * 1000/T (or explicit
+      beta_start/beta_end, HF semantics — no 1000/T rescale then).
+    * "scaled_linear": HF latent-diffusion style — linspace in sqrt(beta).
     * "cosine" / "squaredcos_cap_v2": betas_for_alpha_bar with
       cos^2 alpha_bar and max beta 0.999.
+    * "sigmoid": HF sigmoid betas over [beta_start, beta_end].
     """
     if name == "linear":
-        scale = 1000.0 / num_steps
+        if beta_start is None and beta_end is None:
+            scale = 1000.0 / num_steps
+            beta_start, beta_end = scale * 0.0001, scale * 0.02
         beta = np.linspace(
-            scale * 0.0001, scale * 0.02, num_steps, dtype=np.float64,
+            beta_start if beta_start is not None else 0.0001,
+            beta_end if beta_end is not None else 0.02,
+            num_steps, dtype=np.float64,
         )
+        return schedule_from_betas(beta)
+    if name == "scaled_linear":
+        beta = np.linspace(
+            math.sqrt(beta_start if beta_start is not None else 0.0001),
+            math.sqrt(beta_end if beta_end is not None else 0.02),
+            num_steps, dtype=np.float64,
+        ) ** 2
+        return schedule_from_betas(beta)
+    if name == "sigmoid":
+        bs = beta_start if beta_start is not None else 0.0001
+        be = beta_end if beta_end is not None else 0.02
+        x = np.linspace(-6.0, 6.0, num_steps, dtype=np.float64)
+        beta = 1.0 / (1.0 + np.exp(-x)) * (be - bs) + bs
         return schedule_from_betas(beta)
     if name in ("cosine", "squaredcos_cap_v2"):
         def alpha_bar_fn(s):

@@ -61,6 +61,7 @@ def make_mesh(
     """Build a ("data", "context") mesh. ``data=-1`` uses all remaining
     devices. Axis order puts ``context`` innermost so context-parallel
     collectives ride nearest-neighbour ICI links."""
+    explicit_devices = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
@@ -69,6 +70,23 @@ def make_mesh(
     assert data * context == n, (
         f"mesh {data}x{context} != {n} available devices"
     )
+    if not explicit_devices:
+        # Topology-aware placement (SURVEY §2.6 "DCN-aware mesh
+        # factorization"): create_device_mesh lays the (data, context)
+        # factorisation onto the physical ICI torus so the innermost
+        # (context) axis gets nearest-neighbour links, and on multi-slice
+        # topologies the slice-crossing (DCN) hop lands on the outer data
+        # axis. Falls back to a flat reshape where no topology exists
+        # (single device, virtual CPU platform, explicit device lists).
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh(
+                (data, context), devices=devices,
+            )
+            return Mesh(dev_array, (DATA_AXIS, CONTEXT_AXIS))
+        except (ValueError, AssertionError, NotImplementedError):
+            pass
     dev_array = np.asarray(devices).reshape(data, context)
     return Mesh(dev_array, (DATA_AXIS, CONTEXT_AXIS))
 

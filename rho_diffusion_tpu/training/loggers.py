@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Optional, Protocol
+from typing import Any, Protocol
 
 from rho_diffusion_tpu.registry import registry
 
@@ -72,33 +72,46 @@ class JSONLLogger:
 
 @registry.register_logger("csv")
 class CSVLogger:
-    """Append records to a CSV; the header is the union of keys seen when
-    the first record arrives (later unknown keys are dropped)."""
+    """Append records to a CSV whose header is the union of all keys seen.
+
+    Trainer records are heterogeneous (lifecycle events like ``{event, step}``
+    arrive before the first metrics row), so the header cannot be frozen to
+    the first record's keys: when a record introduces new keys the file is
+    rewritten in place with the widened header (rows are retained in memory —
+    metrics files are small). Missing keys render as empty cells.
+    """
 
     def __init__(self, path: str | Path = "metrics.csv") -> None:
         self.path = Path(path)
-        self._f = None
-        self._fields: Optional[list[str]] = None
+        self._fields: list[str] = []
+        self._rows: list[dict[str, Any]] = []
 
     def log(self, record: dict[str, Any]) -> None:
+        new_keys = [k for k in record if k not in self._fields]
+        self._rows.append(dict(record))
+        if new_keys:
+            self._fields.extend(new_keys)
+            self._rewrite()
+        else:
+            self._append(record)
+
+    def _rewrite(self) -> None:
         import csv
 
-        if self._f is None:
-            self.path.parent.mkdir(parents=True, exist_ok=True)
-            self._f = open(self.path, "a", newline="")
-            self._fields = list(record.keys())
-            self._writer = csv.DictWriter(
-                self._f, fieldnames=self._fields, extrasaction="ignore",
-            )
-            if self.path.stat().st_size == 0:
-                self._writer.writeheader()
-        self._writer.writerow(record)
-        self._f.flush()
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        with open(self.path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fields, restval="")
+            w.writeheader()
+            w.writerows(self._rows)
+
+    def _append(self, record: dict[str, Any]) -> None:
+        import csv
+
+        with open(self.path, "a", newline="") as f:
+            csv.DictWriter(f, fieldnames=self._fields, restval="").writerow(record)
 
     def close(self) -> None:
-        if self._f is not None:
-            self._f.close()
-            self._f = None
+        self._rows.clear()
 
 
 @registry.register_logger("mlflow")

@@ -196,10 +196,13 @@ def MultiStepLR(
     **_: Any,
 ) -> optax.Schedule:
     """torch.optim.lr_scheduler.MultiStepLR: multiply by gamma at each
-    milestone epoch."""
-    boundaries = {
-        int(m * steps_per_epoch): gamma for m in sorted(milestones)
-    }
+    milestone epoch. Milestones that collapse to the same step (duplicates,
+    or sub-epoch fractions truncating together) compound as gamma**count,
+    matching torch's per-milestone application."""
+    from collections import Counter
+
+    counts = Counter(int(m * steps_per_epoch) for m in milestones)
+    boundaries = {step: gamma ** n for step, n in sorted(counts.items())}
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
@@ -240,23 +243,39 @@ def CosineAnnealingWarmRestarts(
     T_0: int,
     T_mult: int = 1,
     eta_min: float = 0.0,
-    n_restarts: int = 16,
     **_: Any,
 ) -> optax.Schedule:
-    """torch SGDR: cosine periods of T_0, T_0*T_mult, ... epochs."""
-    alpha = eta_min / base_lr if base_lr > 0 else 0.0
-    schedules, boundaries, t = [], [], 0
+    """torch SGDR: cosine periods of T_0, T_0*T_mult, ... epochs,
+    restarting indefinitely (closed form — no finite restart table, so a
+    long run never decays to a frozen eta_min).
+
+    T_mult == 1: t_cur = step mod T_0.  T_mult > 1: the cycle index is
+    n = floor(log_Tmult(step/T_0*(T_mult-1) + 1)) with cycle start
+    T_0*(T_mult^n - 1)/(T_mult - 1), matching
+    torch.optim.lr_scheduler.CosineAnnealingWarmRestarts.
+    """
+    import jax.numpy as jnp
+
     period = max(int(T_0 * steps_per_epoch), 1)
-    for _i in range(max(n_restarts, 1)):
-        schedules.append(
-            optax.cosine_decay_schedule(base_lr, period, alpha=alpha),
+    mult = max(int(T_mult), 1)
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32)
+        if mult == 1:
+            t_cur = jnp.mod(s, period)
+            T_i = float(period)
+        else:
+            n = jnp.floor(
+                jnp.log(s / period * (mult - 1) + 1.0) / jnp.log(float(mult)),
+            )
+            start = period * (mult ** n - 1.0) / (mult - 1.0)
+            T_i = period * mult ** n
+            t_cur = s - start
+        return eta_min + (base_lr - eta_min) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * t_cur / T_i)
         )
-        t += period
-        boundaries.append(t)
-        period *= max(int(T_mult), 1)
-    # hold at eta_min after the modelled restarts
-    schedules.append(optax.constant_schedule(base_lr * alpha))
-    return optax.join_schedules(schedules, boundaries)
+
+    return schedule
 
 
 @registry.register_lr_scheduler("OneCycleLR")

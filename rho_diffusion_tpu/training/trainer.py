@@ -228,9 +228,12 @@ class Trainer:
         rng = jax.random.PRNGKey(self.config.training.seed)
         state = self.pipeline.create_state(rng)
         if weights_path:
-            from rho_diffusion_tpu.training.checkpoint import load_model_weights
+            from rho_diffusion_tpu.training.checkpoint import load_weights_auto
 
-            params = load_model_weights(state.params, weights_path)
+            params = load_weights_auto(
+                state.params, weights_path,
+                model_kwargs=dict(self.config.model.kwargs),
+            )
             state = state.replace(params=params)
         elif resume and self.checkpoints.latest_step() is not None:
             state = self.checkpoints.restore(state)
@@ -335,29 +338,52 @@ class Trainer:
         # flag; the step loop checkpoints the full train state and exits
         # cleanly so auto-resume continues from the same step.
         preempted: list = []
+        prev_handlers = {}
 
         def _on_signal(signum, frame):
+            # Second Ctrl-C force-stops: a hung/compiling step can't reach
+            # the deferred checkpoint path, so restore the original handler
+            # and raise so the user regains control (ADVICE r2).
+            if signum == signal.SIGINT and signal.SIGINT in [s for s in preempted]:
+                signal.signal(signal.SIGINT, prev_handlers.get(signal.SIGINT, signal.default_int_handler))
+                raise KeyboardInterrupt
             preempted.append(signum)
 
-        prev_handlers = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
                 prev_handlers[sig] = signal.signal(sig, _on_signal)
             except ValueError:  # non-main thread
                 pass
 
+        # Exact mid-epoch resume (VERDICT r2 item 6): state.step counts
+        # optimizer steps and the per-epoch permutation is a pure function of
+        # (seed, epoch) via loader.set_epoch, so the data cursor is
+        # (step // steps_per_epoch, step % steps_per_epoch). Fast-forwarding
+        # the first resumed epoch replays the identical batch sequence an
+        # uninterrupted run would have consumed (tests/training/
+        # test_round3_fixes.py). No checkpoint-format change needed.
+        spe = max(len(self.loader), 1)
+        start_step = int(state.step)
+        start_epoch = start_step // spe
+        skip_batches = start_step % spe
+
         if self.profile_dir:
             jax.profiler.start_trace(self.profile_dir)
         try:
             step_times: list[float] = []
-            for epoch in range(epochs):
+            # `epochs` further epochs from the derived cursor (a partial
+            # resumed epoch counts as the first)
+            for epoch in range(start_epoch, start_epoch + epochs):
                 if preempted:
                     break
                 self.loader.set_epoch(epoch)
+                batch_iter = self.loader.iter_batches(
+                    skip_batches if epoch == start_epoch else 0,
+                )
                 epoch_loss, n_steps = 0.0, 0
                 t_step = time.perf_counter()
                 for batch in prefetch_to_device(
-                    iter(self.loader), sharding, per_key=per_key,
+                    batch_iter, sharding, per_key=per_key,
                 ):
                     if preempted:
                         break
@@ -404,7 +430,7 @@ class Trainer:
                 self.maybe_validate(state, epoch)
                 self.maybe_sample(state, epoch)
                 self.maybe_checkpoint(state, epoch)
-                if epoch + 1 >= epochs:
+                if epoch + 1 >= start_epoch + epochs:
                     break
             if bench and step_times:
                 self.log(

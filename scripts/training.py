@@ -36,7 +36,8 @@ def main() -> None:
     )
     parser.add_argument(
         "-p", dest="model_checkpoint_path", default=None,
-        help="backbone weights (.npz) to initialise from",
+        help="backbone weights to initialise from: our .npz export, or a "
+             "reference-trained torch model.pth (auto-transplanted)",
     )
     parser.add_argument("-e", "--epochs", type=int, default=None)
     parser.add_argument("--pipeline", default=None,
@@ -63,6 +64,17 @@ def main() -> None:
         initialize_distributed()
 
     config = ExperimentConfig.from_json(args.json_config)
+    ckpt = args.model_checkpoint_path
+    if (
+        ckpt
+        and str(ckpt).endswith((".pth", ".pt"))
+        and config.noise_schedule.name == "CosineBetaSchedule"
+        and "exact_reference" not in config.noise_schedule.kwargs
+    ):
+        # continue training a reference-trained checkpoint against the same
+        # degenerate T+1 cosine table it was trained with
+        config.noise_schedule.kwargs["exact_reference"] = True
+        print("torch checkpoint + cosine schedule: using exact_reference table")
     print(f"devices: {jax.devices()}", flush=True)
 
     trainer = Trainer(

@@ -1,0 +1,122 @@
+"""REAL 2-process jax.distributed training test (VERDICT r2 item 3).
+
+Spawns two OS processes (localhost coordinator rendezvous, 4 virtual CPU
+devices each), runs two SPMD train steps over the global 8-device mesh in
+each, and asserts:
+
+* both processes assemble the GLOBAL batch (8 rows) from their local
+  halves via jax.make_array_from_process_local_data (data/loader.py),
+* both report identical losses (the psum'd global loss),
+* those losses match a single-process 8-device run of the same model,
+  data, and seed.
+
+This is the code path the reference could only reach with mpiexec on real
+hardware (reference xpu.py:57-137, scripts/training_ddp.py:47-61).
+"""
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+WORKER = Path(__file__).parent / "two_process_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _parse_losses(out: str) -> list[float]:
+    for line in out.splitlines():
+        if line.startswith("RESULT"):
+            return eval(line.split("losses=", 1)[1])  # noqa: S307 - our own output
+    raise AssertionError(f"no RESULT line in worker output:\n{out[-3000:]}")
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("2-process workers timed out (rendezvous or compile hang)")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    losses0 = _parse_losses(outs[0])
+    losses1 = _parse_losses(outs[1])
+    assert len(losses0) == 2
+    # the loss is the global (psum'd) mean — identical on every process
+    np.testing.assert_allclose(losses0, losses1, rtol=1e-6)
+
+    # single-process reference run: same model/data/seed over this test
+    # process's own 8 virtual devices
+    import jax
+
+    from rho_diffusion_tpu.data.loader import DataLoader, prefetch_to_device
+    from rho_diffusion_tpu.diffusion import DDPM, LinearSchedule
+    from rho_diffusion_tpu.parallel.mesh import (
+        active_mesh,
+        batch_sharding,
+        make_mesh,
+        replicate_state,
+    )
+
+    class DeterministicDataset:
+        parameter_space = None
+
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return rng.uniform(-1, 1, (8, 8, 1)).astype(np.float32), None
+
+    pipe = DDPM(
+        backbone="UNetv2",
+        backbone_kwargs=dict(
+            dims=2, in_channels=1, out_channels=1, model_channels=8,
+            num_res_blocks=1, data_shape=(8, 8), channel_mult=(1, 2),
+            attention_resolutions=[], num_heads=1, dtype=np.float32,
+        ),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        optimizer="AdamW",
+        opt_kwargs={"lr": 1e-3},
+        ema_decay=0.0,
+    )
+    mesh = make_mesh()
+    state = replicate_state(pipe.create_state(jax.random.PRNGKey(0)), mesh)
+    loader = DataLoader(
+        DeterministicDataset(), batch_size=8, shuffle=True, seed=0,
+        num_workers=0, process_index=0, num_processes=1,
+    )
+    loader.set_epoch(0)
+    ref_losses = []
+    for i, batch in enumerate(prefetch_to_device(iter(loader), batch_sharding(mesh))):
+        if i >= 2:
+            break
+        with active_mesh(mesh):
+            state, m = pipe.training_step(state, batch)
+        ref_losses.append(float(m["train_loss"]))
+
+    np.testing.assert_allclose(losses0, ref_losses, rtol=0, atol=2e-5)

@@ -1,0 +1,162 @@
+"""Round-3 correctness fixes (ADVICE r2 + VERDICT r2): CSV logger header
+union, SGDR indefinite restarts, MultiStepLR duplicate milestones, and
+exact mid-epoch resume."""
+import csv
+import json
+
+import numpy as np
+import pytest
+
+from rho_diffusion_tpu.registry import registry
+
+
+# ---------------------------------------------------------------------------
+# CSVLogger: heterogeneous records must not drop metric columns
+# ---------------------------------------------------------------------------
+
+def test_csv_logger_header_union(tmp_path):
+    from rho_diffusion_tpu.training.loggers import CSVLogger
+
+    path = tmp_path / "metrics.csv"
+    lg = CSVLogger(path)
+    # lifecycle event first (what a resume emits), then real metrics — the
+    # old logger froze the header to {event, step} and silently dropped loss
+    lg.log({"event": "resumed", "step": 4})
+    lg.log({"step": 5, "train_loss": 0.5, "psnr": 12.0})
+    lg.log({"step": 6, "train_loss": 0.4, "psnr": 13.0, "steps_per_sec": 2.0})
+    lg.close()
+
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert set(rows[0].keys()) >= {"event", "step", "train_loss", "psnr",
+                                   "steps_per_sec"}
+    assert rows[1]["train_loss"] == "0.5"
+    assert rows[2]["steps_per_sec"] == "2.0"
+    assert rows[0]["train_loss"] == ""  # missing keys are empty, not dropped
+
+
+# ---------------------------------------------------------------------------
+# LR schedulers
+# ---------------------------------------------------------------------------
+
+def test_sgdr_restarts_indefinitely():
+    """ADVICE r2: the old implementation modelled 16 restarts then froze at
+    eta_min. The closed form must restart forever (torch semantics)."""
+    spe = 10
+    s = registry.get("lr_schedulers", "CosineAnnealingWarmRestarts")(
+        1.0, spe, T_0=1, T_mult=1, eta_min=0.0,
+    )
+    # far past 16 periods the lr must still cycle back to base_lr
+    for k in (0, 1, 17, 100, 1000):
+        np.testing.assert_allclose(float(s(k * spe)), 1.0, rtol=1e-5)
+    # mid-period is mid-cosine, not frozen zero
+    assert float(s(1000 * spe + 5)) == pytest.approx(0.5, abs=1e-5)
+
+    # T_mult=2: cycle boundaries at 1, 3, 7, 15... epochs
+    s2 = registry.get("lr_schedulers", "CosineAnnealingWarmRestarts")(
+        1.0, spe, T_0=1, T_mult=2, eta_min=0.1,
+    )
+    for boundary in (0, 1, 3, 7, 15, 31):
+        np.testing.assert_allclose(float(s2(boundary * spe)), 1.0, rtol=1e-5)
+    # just before a restart the lr is near eta_min
+    assert float(s2(15 * spe - 1)) < 0.11
+
+
+def test_multistep_duplicate_milestones_compound():
+    """torch applies gamma once per milestone entry: duplicates (or
+    sub-epoch fractions truncating to the same step) must compound."""
+    s = registry.get("lr_schedulers", "MultiStepLR")(
+        1.0, 10, milestones=[2, 2, 4], gamma=0.1,
+    )
+    np.testing.assert_allclose(float(s(0)), 1.0)
+    np.testing.assert_allclose(float(s(25)), 0.01, rtol=1e-6)   # gamma^2 at 20
+    np.testing.assert_allclose(float(s(45)), 0.001, rtol=1e-6)  # + gamma at 40
+
+
+# ---------------------------------------------------------------------------
+# Exact mid-epoch resume (VERDICT r2 item 6)
+# ---------------------------------------------------------------------------
+
+class TrackingDataset:
+    """Records every index served, so tests can compare consumed batch
+    sequences between interrupted and uninterrupted runs."""
+
+    parameter_space = None
+
+    def __init__(self):
+        self.served = []
+
+    def __len__(self):
+        return 16
+
+    def __getitem__(self, i):
+        self.served.append(int(i))
+        rng = np.random.default_rng(i)
+        return rng.uniform(-1, 1, (8, 8, 1)).astype(np.float32), None
+
+
+def _config(tmp_path, **training_overrides):
+    from rho_diffusion_tpu.config import ExperimentConfig
+
+    payload = {
+        "experiment": "resume-exact",
+        "model": {"name": "UNetv2", "kwargs": {
+            "dims": 2, "in_channels": 1, "out_channels": 1,
+            "model_channels": 8, "num_res_blocks": 1,
+            "data_shape": [8, 8], "channel_mult": [1, 2],
+            "attention_resolutions": [], "num_heads": 1,
+        }},
+        "dataset": {"name": "SphericalHarmonicDataset", "kwargs": {"max_l": 2}},
+        "optimizer": {"name": "AdamW", "kwargs": {"lr": 1e-3}},
+        "noise_schedule": {"name": "LinearSchedule",
+                            "kwargs": {"num_steps": 20, "beta_1": 2e-4,
+                                       "beta_T": 1e-2}},
+        "pipeline": {"name": "DDPM", "kwargs": {}},
+        "training": {
+            "batch_size": 8, "max_epochs": 2, "seed": 0, "ema_decay": 0.0,
+            "save_checkpoint_every_n_epochs": 0, "sample_every_n_epochs": 0,
+            "loss_fn": "MSELoss", "dtype": "float32", "log_every_n_steps": 100,
+            "checkpoint_dir": str(tmp_path / "ckpts"),
+        },
+        "inference": {},
+    }
+    payload["training"].update(training_overrides)
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(payload))
+    return ExperimentConfig.from_json(p)
+
+
+def test_midepoch_resume_consumes_identical_sequence(tmp_path):
+    """A run resumed from a mid-epoch step must consume exactly the batches
+    the uninterrupted run would have consumed from that point (VERDICT r2
+    weak #5: the old resume restarted the epoch and replayed data)."""
+    from rho_diffusion_tpu.training.trainer import Trainer
+
+    # uninterrupted: 2 epochs x 2 steps (16 samples / batch 8)
+    ds_a = TrackingDataset()
+    t_a = Trainer(_config(tmp_path / "a"), dataset=ds_a,
+                  work_dir=tmp_path / "a")
+    state = t_a.init_state(resume=False)
+    t_a.fit(state, max_epochs=2)
+    full_sequence = list(ds_a.served)
+    assert len(full_sequence) == 32
+
+    # interrupted at step 1 (mid-epoch 0): resume must replay the SAME
+    # remaining sequence, not restart epoch 0
+    ds_b = TrackingDataset()
+    t_b = Trainer(_config(tmp_path / "b"), dataset=ds_b,
+                  work_dir=tmp_path / "b")
+    st = t_b.init_state(resume=False)
+    st = st.replace(step=st.step + 1)  # as if one optimizer step happened
+    ds_b.served.clear()
+    t_b.fit(st, max_epochs=2)  # runs rest of epoch 0 + epoch 1 (+1 more)
+
+    # the batches consumed must equal the uninterrupted run's batches from
+    # batch 1 onward (same seed -> same permutations). The threaded loader
+    # may interleave WITHIN a batch, so compare per-batch index sets.
+    def batches(seq):
+        return [sorted(seq[i : i + 8]) for i in range(0, len(seq), 8)]
+
+    consumed = ds_b.served[: len(full_sequence) - 8]
+    assert batches(consumed) == batches(full_sequence[8:])
