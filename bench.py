@@ -157,8 +157,13 @@ def main() -> None:
         schedule=LinearSchedule(1000),
         optimizer="AdamW",
         opt_kwargs={"lr": 1e-4},
-        ema_decay=0.9999,
+        ema_decay=0.0 if os.environ.get("BENCH_NO_EMA") == "1" else 0.9999,
+        log_grad_norm=os.environ.get("BENCH_NO_GRADNORM") != "1",
     )
+    if os.environ.get("BENCH_FLAT_OPT") == "1":
+        import optax
+
+        pipe.tx = optax.flatten(pipe.tx)
     state = pipe.create_state(jax.random.PRNGKey(777))
 
     if mode == "realdata":

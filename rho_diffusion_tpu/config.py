@@ -69,6 +69,9 @@ class TrainingConfig(BaseModel):
     dtype: str = "bfloat16"  # compute dtype under jit; params stay float32
     checkpoint_dir: Optional[str] = None
     log_every_n_steps: int = 50
+    # grad_norm logging re-reads every gradient (~2% of the flagship step);
+    # the reference logged only loss+psnr, so it is opt-out.
+    log_grad_norm: bool = True
     val_fraction: float = 0.0  # held-out split evaluated each epoch
     validate_every_n_epochs: int = 1
     # Parallel layout. ``mesh`` picks the ("data", "context") device mesh,

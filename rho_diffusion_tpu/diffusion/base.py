@@ -62,6 +62,7 @@ class AbstractDiffusionPipeline:
         ema_decay: float = 0.0,
         clip_grad_norm: Optional[float] = None,
         learning_rate: Optional[Any] = None,  # overrides opt_kwargs lr; may be a schedule
+        log_grad_norm: bool = True,
     ) -> None:
         # --- resolve the conditioning module first so the backbone can own
         # it as a submodule (reference attaches it post-hoc,
@@ -117,6 +118,11 @@ class AbstractDiffusionPipeline:
         self.opt_kwargs = opt_kwargs
         self.world_size = world_size
         self.ema_decay = float(ema_decay or 0.0)
+        # grad_norm logging costs a second full read of every gradient
+        # (multiply_reduce fusions, ~2% of the flagship step — xprof r3);
+        # the reference logs only loss+psnr (ddpm.py:283-287), so the norm
+        # is optional. Trainer configs expose training.log_grad_norm.
+        self.log_grad_norm = bool(log_grad_norm)
         if isinstance(optimizer, str) or optimizer is None:
             self.tx = build_optimizer(
                 self.opt_name,
@@ -216,9 +222,10 @@ class AbstractDiffusionPipeline:
             ema_params = state.ema_params
             if ema_params is not None:
                 ema_params = ema_update(ema_params, params, state.step, self.ema_decay)
-            metrics["grad_norm"] = jax.tree_util.tree_reduce(
-                lambda a, g: a + jnp.sum(jnp.square(g)), grads, jnp.zeros(()),
-            ) ** 0.5
+            if self.log_grad_norm:
+                metrics["grad_norm"] = jax.tree_util.tree_reduce(
+                    lambda a, g: a + jnp.sum(jnp.square(g)), grads, jnp.zeros(()),
+                ) ** 0.5
             new_state = TrainState(
                 step=state.step + 1,
                 params=params,

@@ -117,6 +117,7 @@ def build_pipeline_from_config(
         learning_rate=learning_rate,
         world_size=world_size,
         ema_decay=config.training.ema_decay,
+        log_grad_norm=config.training.log_grad_norm,
         sample_every_n_epochs=config.training.sample_every_n_epochs,
         save_checkpoint_every_n_epochs=config.training.save_checkpoint_every_n_epochs,
         **pipeline_kwargs,
@@ -411,8 +412,9 @@ class Trainer:
                             "epoch": epoch,
                             "train_loss": loss,
                             "psnr": float(metrics["psnr"]),
-                            "grad_norm": float(metrics["grad_norm"]),
                         }
+                        if "grad_norm" in metrics:
+                            rec["grad_norm"] = float(metrics["grad_norm"])
                         if bench:
                             rec["steps_per_sec"] = 1.0 / max(dt, 1e-9)
                             step_times.append(dt)
