@@ -60,6 +60,7 @@ def _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke) -> None
     from rho_diffusion_tpu.diffusion import GaussianDiffusionPipeline, LinearSchedule
 
     steps = int(os.environ.get("BENCH_DDIM_STEPS", 10 if smoke else 50))
+    sampler = os.environ.get("BENCH_SAMPLER", "ddim")  # ddim | ddpm (full-T ancestral)
     pipe = GaussianDiffusionPipeline(
         backbone="UNetv2",
         backbone_kwargs=backbone_kwargs,
@@ -77,7 +78,7 @@ def _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke) -> None
         # giant MLIR constants and blow the remote-compile payload limit
         return pipe.reverse_process(
             params, rng, pipe.sample_shape(n), conds,
-            sampler="ddim", num_steps=steps,
+            sampler=sampler, num_steps=steps,
         )
 
     fn = jax.jit(sample)
@@ -92,7 +93,7 @@ def _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke) -> None
     finite = bool(np.isfinite(np.asarray(out)).all())
     prev = _previous_bench_value()
     result = {
-        "metric": f"ddim{steps}_sample_wall_clock_{grid}cubed_b{n}",
+        "metric": f"{sampler}{steps}_sample_wall_clock_{grid}cubed_b{n}",
         "value": round(wall, 4),
         "unit": "seconds",
         "vs_baseline": round(prev / wall, 4) if prev else 1.0,

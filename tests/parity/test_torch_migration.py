@@ -86,7 +86,7 @@ def test_inference_cli_accepts_pth(saved_pth, tmp_path):
         "dataset": {"name": "SphericalHarmonicDataset", "kwargs": {"max_l": 2}},
         "optimizer": {"name": "AdamW", "kwargs": {"lr": 1e-3}},
         "noise_schedule": {"name": "LinearSchedule",
-                            "kwargs": {"num_steps": 10, "beta_1": 2e-4,
+                            "kwargs": {"num_steps": 20, "beta_1": 2e-4,
                                        "beta_T": 1e-2}},
         "pipeline": {"name": "DDPM", "kwargs": {}},
         "training": {"batch_size": 4, "max_epochs": 1, "loss_fn": "MSELoss",
