@@ -132,9 +132,25 @@ def main() -> None:
 
     mode = os.environ.get("BENCH_MODE", "train")  # train|sample|realdata
     remat = os.environ.get("BENCH_REMAT") == "1"  # the 64^3 memory recipe
+    dims = int(os.environ.get("BENCH_DIMS", 3))  # 3 (flagship) | 2 (DeepGalaxy) | 1
+    if dims == 2:
+        # the reference's second shipped workload
+        # (examples/config_deep_galaxy.json:4-57): 128^2, mc=32, T=500, b64
+        grid = int(os.environ.get("BENCH_GRID", 128))
+        batch = int(os.environ.get("BENCH_BATCH", 64))
+        mc = 16 if smoke else 32
+        num_classes = 25
+    elif dims == 1:
+        # 1D parametric density profiles (BASELINE.json config #2; Conv1d
+        # path, cf. SpectroscopyDataset spectra)
+        grid = int(os.environ.get("BENCH_GRID", 1024))
+        batch = int(os.environ.get("BENCH_BATCH", 64))
+        num_classes = 20
+    else:
+        num_classes = 20
     backbone_kwargs = dict(
-        data_shape=(grid,) * 3,
-        dims=3,
+        data_shape=(grid,) * dims,
+        dims=dims,
         in_channels=1,
         out_channels=1,
         model_channels=mc,
@@ -142,7 +158,7 @@ def main() -> None:
         channel_mult=(1, 2) if smoke else (1, 2, 4, 8),
         attention_resolutions=[16, 8],
         num_heads=4,
-        num_classes=20,
+        num_classes=num_classes,
         use_scale_shift_norm=True,
         use_checkpoint=remat,
         dtype=dtype,
@@ -155,7 +171,7 @@ def main() -> None:
     pipe = DDPM(
         backbone="UNetv2",
         backbone_kwargs=backbone_kwargs,
-        schedule=LinearSchedule(1000),
+        schedule=LinearSchedule(500 if dims == 2 else 1000),
         optimizer="AdamW",
         opt_kwargs={"lr": 1e-4},
         ema_decay=0.0 if os.environ.get("BENCH_NO_EMA") == "1" else 0.9999,
@@ -215,7 +231,7 @@ def main() -> None:
         return
 
     rng = np.random.default_rng(0)
-    data = rng.uniform(0.0, 1.0, (batch, grid, grid, grid, 1)).astype(np.float32)
+    data = rng.uniform(0.0, 1.0, (batch, *(grid,) * dims, 1)).astype(np.float32)
     labels = rng.uniform(0.0, 1.0, (batch, 4 * mc)).astype(np.float32)
     batch_dict = {"data": jnp.asarray(data), "labels": jnp.asarray(labels)}
 
@@ -238,7 +254,7 @@ def main() -> None:
     prev = _previous_bench_value()
     vs_baseline = steps_per_sec_chip / prev if prev else 1.0
     result = {
-        "metric": f"train_steps_per_sec_per_chip_3d_unet_{grid}cubed_b{batch}"
+        "metric": f"train_steps_per_sec_per_chip_{dims}d_unet_{grid}{'cubed' if dims == 3 else ('sq' if dims == 2 else '')}_b{batch}"
         if not smoke
         else "train_steps_per_sec_per_chip_smoke",
         "value": round(steps_per_sec_chip, 4),
