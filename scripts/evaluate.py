@@ -55,9 +55,11 @@ def main() -> None:
     params = state.params
     ckpt = args.model_checkpoint_path or config.inference.checkpoint
     if ckpt and os.path.isfile(ckpt):
-        from rho_diffusion_tpu.training.checkpoint import load_model_weights
+        from rho_diffusion_tpu.training.checkpoint import load_weights_auto
 
-        params = load_model_weights(params, ckpt)
+        params = load_weights_auto(
+            params, ckpt, model_kwargs=dict(config.model.kwargs),
+        )
     state = state.replace(params=params)
 
     loader = DataLoader(
