@@ -50,6 +50,8 @@ def _previous_bench_value() -> float | None:
 
 
 def _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke) -> None:
+    dims = backbone_kwargs["dims"]
+    gname = f"{grid}" + {3: "cubed", 2: "sq", 1: ""}[dims]
     """DDIM-50 full-volume generation wall-clock with EMA-style weights."""
     import time
 
@@ -93,7 +95,7 @@ def _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke) -> None
     finite = bool(np.isfinite(np.asarray(out)).all())
     prev = _previous_bench_value()
     result = {
-        "metric": f"{sampler}{steps}_sample_wall_clock_{grid}cubed_b{n}",
+        "metric": f"{sampler}{steps}_sample_wall_clock_{gname}_b{n}",
         "value": round(wall, 4),
         "unit": "seconds",
         "vs_baseline": round(prev / wall, 4) if prev else 1.0,
@@ -136,15 +138,15 @@ def main() -> None:
     if dims == 2:
         # the reference's second shipped workload
         # (examples/config_deep_galaxy.json:4-57): 128^2, mc=32, T=500, b64
-        grid = int(os.environ.get("BENCH_GRID", 128))
-        batch = int(os.environ.get("BENCH_BATCH", 64))
+        grid = int(os.environ.get("BENCH_GRID", 16 if smoke else 128))
+        batch = int(os.environ.get("BENCH_BATCH", 8 if smoke else 64))
         mc = 16 if smoke else 32
         num_classes = 25
     elif dims == 1:
         # 1D parametric density profiles (BASELINE.json config #2; Conv1d
         # path, cf. SpectroscopyDataset spectra)
-        grid = int(os.environ.get("BENCH_GRID", 1024))
-        batch = int(os.environ.get("BENCH_BATCH", 64))
+        grid = int(os.environ.get("BENCH_GRID", 64 if smoke else 1024))
+        batch = int(os.environ.get("BENCH_BATCH", 8 if smoke else 64))
         num_classes = 20
     else:
         num_classes = 20

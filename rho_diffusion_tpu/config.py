@@ -145,3 +145,21 @@ class ExperimentConfig(BaseModel):
     def to_json(self, path: Union[str, Path]) -> None:
         with open(path, "w") as f:
             json.dump(self.model_dump(), f, indent=2, default=str)
+
+
+def apply_torch_checkpoint_schedule_fixup(config: "ExperimentConfig", ckpt) -> bool:
+    """When loading a reference-trained torch checkpoint (``model.pth``)
+    under a cosine schedule, flip the schedule to the reference's exact
+    degenerate T+1 coefficient table (``exact_reference=True``) so denoising
+    matches the framework the weights were trained in. Shared by the
+    training/inference/evaluate CLIs (one place, not three copies).
+    Returns True when the fixup was applied."""
+    if (
+        ckpt
+        and str(ckpt).endswith((".pth", ".pt"))
+        and config.noise_schedule.name == "CosineBetaSchedule"
+        and "exact_reference" not in config.noise_schedule.kwargs
+    ):
+        config.noise_schedule.kwargs["exact_reference"] = True
+        return True
+    return False

@@ -66,7 +66,11 @@ class DiffusersDDPMPipeline(GaussianDiffusionPipeline):
         clip_grad_norm: float = 1.0,
         **kwargs,
     ) -> None:
-        T = timesteps or num_train_timesteps or 1000
+        # T stays None when the caller supplied a ready schedule without an
+        # explicit count — the base class then infers len(schedule), so an
+        # injected 500-step config schedule never trains with t drawn from
+        # [0, 1000) against a 500-row table.
+        T = timesteps or num_train_timesteps
         if schedule is None:
             # HF DDPMScheduler semantics: explicit (un-rescaled) beta range,
             # default [0.0001, 0.02] — unlike guided-diffusion's 1000/T
@@ -74,8 +78,16 @@ class DiffusersDDPMPipeline(GaussianDiffusionPipeline):
             if beta_schedule in ("linear", "scaled_linear", "sigmoid"):
                 beta_start = 0.0001 if beta_start is None else beta_start
                 beta_end = 0.02 if beta_end is None else beta_end
+            elif beta_start is not None or beta_end is not None:
+                import warnings
+
+                warnings.warn(
+                    f"beta_start/beta_end are ignored by the "
+                    f"'{beta_schedule}' schedule (same as HF DDPMScheduler)",
+                    stacklevel=2,
+                )
             schedule = named_beta_schedule(
-                beta_schedule, T, beta_start=beta_start, beta_end=beta_end,
+                beta_schedule, T or 1000, beta_start=beta_start, beta_end=beta_end,
             )
         if prediction_type not in _PREDICTION_TYPES:
             raise ValueError(

@@ -449,10 +449,23 @@ def sample_loop(
 
     if t_checkpoints is not None and len(t_checkpoints) == 0:
         t_checkpoints = None  # empty sequence == no checkpoint buffer
+    if t_checkpoints is not None and progressive:
+        raise ValueError(
+            "progressive=True and t_checkpoints are mutually exclusive: "
+            "progressive returns every frame; t_checkpoints a strided "
+            "buffer. Pass one or the other.",
+        )
     t_ckpt = None
     buf = None
     if t_checkpoints is not None:
-        t_ckpt = jnp.asarray(np.asarray(t_checkpoints), jnp.int32)
+        # snap each checkpoint to the nearest timestep the (possibly
+        # respaced) trajectory actually visits — a misaligned value would
+        # otherwise never match and silently return a zero frame
+        tmap = np.asarray(c.timestep_map)
+        snapped = np.asarray([
+            tmap[np.abs(tmap - int(t)).argmin()] for t in np.asarray(t_checkpoints)
+        ])
+        t_ckpt = jnp.asarray(snapped, jnp.int32)
         buf = jnp.zeros((t_ckpt.shape[0], *shape), x.dtype)
 
     def body(carry, t):

@@ -85,8 +85,28 @@ class CSVLogger:
         self.path = Path(path)
         self._fields: list[str] = []
         self._rows: list[dict[str, Any]] = []
+        self._loaded = False
+
+    def _load_existing(self) -> None:
+        """Adopt a previous run's rows/header so a preempted-and-resumed
+        process appends instead of truncating the metrics history."""
+        self._loaded = True
+        if not self.path.exists():
+            return
+        import csv
+
+        with open(self.path, newline="") as f:
+            reader = csv.DictReader(f)
+            if reader.fieldnames:
+                self._fields = list(reader.fieldnames)
+                self._rows = [
+                    {k: v for k, v in row.items() if v not in ("", None)}
+                    for row in reader
+                ]
 
     def log(self, record: dict[str, Any]) -> None:
+        if not self._loaded:
+            self._load_existing()
         new_keys = [k for k in record if k not in self._fields]
         self._rows.append(dict(record))
         if new_keys:
@@ -111,7 +131,10 @@ class CSVLogger:
             csv.DictWriter(f, fieldnames=self._fields, restval="").writerow(record)
 
     def close(self) -> None:
+        # drop the in-memory copy; a later log() re-adopts the file
         self._rows.clear()
+        self._fields = []
+        self._loaded = False
 
 
 @registry.register_logger("mlflow")

@@ -268,6 +268,11 @@ def CosineAnnealingWarmRestarts(
             n = jnp.floor(
                 jnp.log(s / period * (mult - 1) + 1.0) / jnp.log(float(mult)),
             )
+            # float32 log/floor can land one cycle low exactly at a restart
+            # boundary; bump n when the residual already spans the cycle
+            start = period * (mult ** n - 1.0) / (mult - 1.0)
+            T_i = period * mult ** n
+            n = jnp.where(s - start >= T_i, n + 1.0, n)
             start = period * (mult ** n - 1.0) / (mult - 1.0)
             T_i = period * mult ** n
             t_cur = s - start

@@ -319,10 +319,14 @@ class Trainer:
 
     # -- main loop --------------------------------------------------------
     def fit(self, state: Optional[TrainState] = None, max_epochs: Optional[int] = None) -> TrainState:
+        """Train. With no ``max_epochs`` argument, ``training.max_epochs``
+        is the TOTAL epoch budget — a preempted-and-auto-resumed run
+        finishes the remaining epochs instead of training for the full
+        budget again. An explicit ``max_epochs=N`` means "N further epochs
+        from the current cursor" (interactive continuation)."""
         cfg = self.config.training
         if state is None:
             state = self.init_state()
-        epochs = max_epochs if max_epochs is not None else cfg.max_epochs
         # spatial sharding applies to the 5-D volume only; labels/masks
         # keep plain batch sharding
         sharding = batch_sharding(self.mesh)
@@ -367,14 +371,19 @@ class Trainer:
         start_step = int(state.step)
         start_epoch = start_step // spe
         skip_batches = start_step % spe
+        if max_epochs is not None:
+            # explicit request: N further epochs (a partial resumed epoch
+            # counts as the first)
+            end_epoch = start_epoch + max_epochs
+        else:
+            # config budget: TOTAL epochs — resume finishes the remainder
+            end_epoch = max(cfg.max_epochs, start_epoch)
 
         if self.profile_dir:
             jax.profiler.start_trace(self.profile_dir)
         try:
             step_times: list[float] = []
-            # `epochs` further epochs from the derived cursor (a partial
-            # resumed epoch counts as the first)
-            for epoch in range(start_epoch, start_epoch + epochs):
+            for epoch in range(start_epoch, end_epoch):
                 if preempted:
                     break
                 self.loader.set_epoch(epoch)
@@ -432,7 +441,7 @@ class Trainer:
                 self.maybe_validate(state, epoch)
                 self.maybe_sample(state, epoch)
                 self.maybe_checkpoint(state, epoch)
-                if epoch + 1 >= start_epoch + epochs:
+                if epoch + 1 >= end_epoch:
                     break
             if bench and step_times:
                 self.log(

@@ -48,7 +48,13 @@ def main() -> None:
     from rho_diffusion_tpu.registry import registry
     from rho_diffusion_tpu.training.trainer import build_pipeline_from_config
 
+    from rho_diffusion_tpu.config import apply_torch_checkpoint_schedule_fixup
+
     config = ExperimentConfig.from_json(args.json_config)
+    if apply_torch_checkpoint_schedule_fixup(
+        config, args.model_checkpoint_path or config.inference.checkpoint,
+    ):
+        print("torch checkpoint + cosine schedule: using exact_reference table")
     dataset = registry.get("datasets", config.dataset.name)(**config.dataset.kwargs)
     pipeline = build_pipeline_from_config(config, dataset=dataset)
     state = pipeline.create_state(jax.random.PRNGKey(config.inference.seed))

@@ -80,17 +80,10 @@ def main() -> None:
     except Exception:
         dataset = None  # e.g. HDF5 file not present at inference time
 
+    from rho_diffusion_tpu.config import apply_torch_checkpoint_schedule_fixup
+
     ckpt = args.model_checkpoint_path or config.inference.checkpoint
-    if (
-        ckpt
-        and str(ckpt).endswith((".pth", ".pt"))
-        and config.noise_schedule.name == "CosineBetaSchedule"
-        and "exact_reference" not in config.noise_schedule.kwargs
-    ):
-        # reference-trained checkpoints were trained against the reference's
-        # degenerate T+1 cosine table; reproduce it for exact migration
-        # (schedule.py:exact_reference, VERDICT r2 item 4)
-        config.noise_schedule.kwargs["exact_reference"] = True
+    if apply_torch_checkpoint_schedule_fixup(config, ckpt):
         print("torch checkpoint + cosine schedule: using exact_reference table")
 
     pipeline = build_pipeline_from_config(

@@ -63,17 +63,10 @@ def main() -> None:
     if int(os.environ.get("RHO_MULTIHOST", "0")):
         initialize_distributed()
 
+    from rho_diffusion_tpu.config import apply_torch_checkpoint_schedule_fixup
+
     config = ExperimentConfig.from_json(args.json_config)
-    ckpt = args.model_checkpoint_path
-    if (
-        ckpt
-        and str(ckpt).endswith((".pth", ".pt"))
-        and config.noise_schedule.name == "CosineBetaSchedule"
-        and "exact_reference" not in config.noise_schedule.kwargs
-    ):
-        # continue training a reference-trained checkpoint against the same
-        # degenerate T+1 cosine table it was trained with
-        config.noise_schedule.kwargs["exact_reference"] = True
+    if apply_torch_checkpoint_schedule_fixup(config, args.model_checkpoint_path):
         print("torch checkpoint + cosine schedule: using exact_reference table")
     print(f"devices: {jax.devices()}", flush=True)
 

@@ -227,3 +227,49 @@ def test_classifier_guidance_as_cond_fn_fails_fast():
             cond_fn_kwargs={},
             optimizer="AdamW",
         )
+
+
+def test_diffusers_injected_schedule_infers_timesteps():
+    """An explicitly injected schedule must set T = len(schedule), not 1000
+    (regression: training drew t from [0, 1000) against a shorter table)."""
+    pipe = DiffusersDDPMPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+    )
+    assert pipe.timesteps == 20
+    assert pipe.coeffs.num_timesteps == 20
+
+
+def test_progressive_and_t_checkpoints_conflict():
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        optimizer="AdamW",
+    )
+    state = pipe.create_state(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pipe.reverse_process(
+            state.params, jax.random.PRNGKey(1), (1, 8, 8, 1), None,
+            progressive=True, t_checkpoints=[0, 10],
+        )
+
+
+def test_t_checkpoints_snap_to_respaced_grid():
+    """A checkpoint between respaced timesteps snaps to the nearest visited
+    one instead of silently returning a zero frame."""
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        optimizer="AdamW",
+    )
+    state = pipe.create_state(jax.random.PRNGKey(0))
+    # respaced original timesteps {0,4,8,12,16}; 7 snaps to 8
+    final, frames = pipe.reverse_process(
+        state.params, jax.random.PRNGKey(1), (1, 8, 8, 1), None,
+        sampler="ddim", num_steps=5, t_checkpoints=[7],
+    )
+    assert np.abs(np.asarray(frames[0])).max() > 0

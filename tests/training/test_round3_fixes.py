@@ -160,3 +160,41 @@ def test_midepoch_resume_consumes_identical_sequence(tmp_path):
 
     consumed = ds_b.served[: len(full_sequence) - 8]
     assert batches(consumed) == batches(full_sequence[8:])
+
+
+def test_csv_logger_preserves_history_across_restart(tmp_path):
+    """A resumed process must append to (and widen) the existing CSV, not
+    truncate the previous run's history."""
+    from rho_diffusion_tpu.training.loggers import CSVLogger
+
+    path = tmp_path / "metrics.csv"
+    lg = CSVLogger(path)
+    lg.log({"step": 1, "train_loss": 0.9})
+    lg.log({"step": 2, "train_loss": 0.8})
+    lg.close()
+
+    lg2 = CSVLogger(path)  # fresh process after preemption
+    lg2.log({"event": "resumed", "step": 2})
+    lg2.log({"step": 3, "train_loss": 0.7, "psnr": 11.0})
+    lg2.close()
+
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 4
+    assert rows[0]["train_loss"] == "0.9"   # old history intact
+    assert rows[3]["psnr"] == "11.0"        # new column appended
+
+
+def test_resume_respects_total_epoch_budget(tmp_path):
+    """fit() with no max_epochs treats training.max_epochs as the TOTAL
+    budget: an auto-resumed run finishes the remainder, not the full budget
+    again."""
+    from rho_diffusion_tpu.training.trainer import Trainer
+
+    ds = TrackingDataset()
+    t = Trainer(_config(tmp_path, max_epochs=2), dataset=ds, work_dir=tmp_path)
+    st = t.init_state(resume=False)
+    st = st.replace(step=st.step + 3)  # as if 1.5 of 2 epochs already ran
+    t.fit(st)  # no max_epochs -> finish the remaining half epoch
+    final = t.init_state(resume=True)
+    assert int(final.step) == 4  # 2 epochs x 2 steps total, not 3 + 4
