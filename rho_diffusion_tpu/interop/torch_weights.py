@@ -353,3 +353,218 @@ def transplant_unet_state_dict(
     if strict and leftover:
         raise ValueError(f"unconsumed reference weights: {leftover[:10]}...")
     return params
+
+
+# ---------------------------------------------------------------------------
+# flax params -> state_dict (the reverse direction: export OUR weights in
+# the reference's torch layout so reference users can take checkpoints back)
+# ---------------------------------------------------------------------------
+
+
+def _torch_conv(kernel: np.ndarray) -> np.ndarray:
+    """flax conv kernel [*K, I, O] -> torch [O, I, *K]."""
+    k = np.asarray(kernel)
+    spatial = list(range(k.ndim - 2))
+    return np.transpose(k, (k.ndim - 1, k.ndim - 2, *spatial))
+
+
+def _torch_linear(kernel: np.ndarray) -> np.ndarray:
+    return np.transpose(np.asarray(kernel), (1, 0))
+
+
+def _torch_conv1x1(kernel: np.ndarray, dims: int) -> np.ndarray:
+    """flax Dense kernel [I, O] -> torch 1x1 conv_nd weight [O, I, 1*dims]."""
+    k = np.asarray(kernel)
+    return np.transpose(k, (1, 0)).reshape(k.shape[1], k.shape[0], *([1] * dims))
+
+
+class _Out:
+    """state_dict writer tracking leaves consumed from the params tree."""
+
+    def __init__(self) -> None:
+        self.sd: dict[str, np.ndarray] = {}
+
+    def __setitem__(self, key: str, value: np.ndarray) -> None:
+        if key in self.sd:
+            raise ValueError(f"duplicate export key '{key}'")
+        self.sd[key] = np.asarray(value)
+
+
+def _export_groupnorm(out: _Out, prefix: str, p: dict) -> None:
+    gn = p["GroupNorm_0"]
+    out[f"{prefix}.weight"] = gn["scale"]
+    out[f"{prefix}.bias"] = gn["bias"]
+
+
+def _export_resblock(out: _Out, prefix: str, p: dict, dims: int) -> None:
+    _export_groupnorm(out, f"{prefix}.in_layers.0", p["norm_in"])
+    out[f"{prefix}.in_layers.2.weight"] = _torch_conv(p["conv_in"]["kernel"])
+    out[f"{prefix}.in_layers.2.bias"] = p["conv_in"]["bias"]
+    out[f"{prefix}.emb_layers.1.weight"] = _torch_linear(p["emb_proj"]["kernel"])
+    out[f"{prefix}.emb_layers.1.bias"] = p["emb_proj"]["bias"]
+    _export_groupnorm(out, f"{prefix}.out_layers.0", p["norm_out"])
+    out[f"{prefix}.out_layers.3.weight"] = _torch_conv(p["conv_out"]["kernel"])
+    out[f"{prefix}.out_layers.3.bias"] = p["conv_out"]["bias"]
+    if "skip" in p:
+        out[f"{prefix}.skip_connection.weight"] = _torch_conv1x1(
+            p["skip"]["kernel"], dims,
+        )
+        out[f"{prefix}.skip_connection.bias"] = p["skip"]["bias"]
+
+
+def _export_attnblock(
+    out: _Out, prefix: str, p: dict, dims: int, num_heads: int, new_order: bool,
+) -> None:
+    """Inverse of ``_attnblock``: our qkv Dense (legacy per-head [q|k|v]
+    channel blocks) back to the reference's 1x1-conv qkv, re-permuting to
+    the 'new order' [3, H, D] layout when the target architecture uses
+    ``use_new_attention_order=True`` (unet_v2.py:365-436).
+
+    The reference's AttentionBlock builds qkv/proj_out with ``conv_nd(1,
+    ...)`` over the FLATTENED token axis (unet_v2.py:320, 331) — so these
+    weights are Conv1d-shaped [O, I, 1] for every ``dims``; only the
+    ResBlock skip connection is ``conv_nd(dims)``-shaped."""
+    del dims  # qkv/proj_out are always 1-D in the reference
+    qkv_w = _torch_conv1x1(p["qkv"]["kernel"], 1)
+    qkv_b = np.asarray(p["qkv"]["bias"])
+    if new_order:
+        three_c = qkv_w.shape[0]
+        d = three_c // (3 * num_heads)
+        perm = (
+            np.arange(three_c)
+            .reshape(num_heads, 3, d)    # legacy: [h, j, d]
+            .transpose(1, 0, 2)          # -> new order: [j, h, d]
+            .reshape(-1)
+        )
+        qkv_w = qkv_w[perm]
+        qkv_b = qkv_b[perm]
+    _export_groupnorm(out, f"{prefix}.norm", p["norm"])
+    out[f"{prefix}.qkv.weight"] = qkv_w
+    out[f"{prefix}.qkv.bias"] = qkv_b
+    out[f"{prefix}.proj_out.weight"] = _torch_conv1x1(p["proj_out"]["kernel"], 1)
+    out[f"{prefix}.proj_out.bias"] = p["proj_out"]["bias"]
+
+
+def export_unet_state_dict(
+    params: dict,
+    dims: int = 2,
+    model_channels: int = 64,
+    num_res_blocks: int = 2,
+    channel_mult=(1, 2, 4, 8),
+    attention_resolutions=(16, 8),
+    conv_resample: bool = True,
+    resblock_updown: bool = False,
+    num_heads: int = 1,
+    num_head_channels: int = -1,
+    use_new_attention_order: bool = False,
+) -> dict:
+    """Convert our flax UNet ``params`` tree into a reference-layout UNetv2
+    ``state_dict`` of numpy arrays — the exact inverse of
+    ``transplant_unet_state_dict`` (same encoder/decoder enumeration,
+    unet_v2.py:533-683), so checkpoints trained here can be handed back to
+    torch users of the reference (``torch.load`` after ``torch.save`` of
+    this mapping, utils.py:166-167). ``dims`` shapes the 1x1 convolutions
+    (skip/qkv/proj_out) that our model stores as Dense kernels.
+
+    Round-trip and torch-forward parity are asserted in
+    tests/parity/test_torch_migration.py.
+    """
+    out = _Out()
+
+    def heads_for(ch: int) -> int:
+        return ch // num_head_channels if num_head_channels != -1 else num_heads
+
+    out["time_embed.0.weight"] = _torch_linear(params["time_dense_0"]["kernel"])
+    out["time_embed.0.bias"] = params["time_dense_0"]["bias"]
+    out["time_embed.2.weight"] = _torch_linear(params["time_dense_1"]["kernel"])
+    out["time_embed.2.bias"] = params["time_dense_1"]["bias"]
+
+    for name, sub in params.get("cond_fn", {}).items():
+        pname = name[len("embedding_"):]
+        out[f"cond_fn.embedding_layers.{pname}.weight"] = sub["embedding"]
+
+    out["input_blocks.0.0.weight"] = _torch_conv(params["conv_in"]["kernel"])
+    out["input_blocks.0.0.bias"] = params["conv_in"]["bias"]
+
+    idx = 1
+    ch = int(channel_mult[0] * model_channels)
+    ds = 1
+    for level, mult in enumerate(channel_mult):
+        for i in range(num_res_blocks):
+            out_ch = int(mult * model_channels)
+            _export_resblock(
+                out, f"input_blocks.{idx}.0", params[f"enc_res_{level}_{i}"], dims,
+            )
+            ch = out_ch
+            if ds in tuple(attention_resolutions):
+                _export_attnblock(
+                    out, f"input_blocks.{idx}.1", params[f"enc_attn_{level}_{i}"],
+                    dims, heads_for(ch), use_new_attention_order,
+                )
+            idx += 1
+        if level != len(channel_mult) - 1:
+            if resblock_updown:
+                _export_resblock(
+                    out, f"input_blocks.{idx}.0", params[f"down_{level}"], dims,
+                )
+            elif conv_resample:
+                op = params[f"down_{level}"]["op"]
+                out[f"input_blocks.{idx}.0.op.weight"] = _torch_conv(op["kernel"])
+                out[f"input_blocks.{idx}.0.op.bias"] = op["bias"]
+            idx += 1
+            ds *= 2
+
+    _export_resblock(out, "middle_block.0", params["mid_res_0"], dims)
+    _export_attnblock(
+        out, "middle_block.1", params["mid_attn"], dims, heads_for(ch),
+        use_new_attention_order,
+    )
+    _export_resblock(out, "middle_block.2", params["mid_res_1"], dims)
+
+    idx = 0
+    for level, mult in reversed(list(enumerate(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            out_ch = int(model_channels * mult)
+            _export_resblock(
+                out, f"output_blocks.{idx}.0", params[f"dec_res_{level}_{i}"], dims,
+            )
+            ch = out_ch
+            layer = 1
+            if ds in tuple(attention_resolutions):
+                _export_attnblock(
+                    out, f"output_blocks.{idx}.{layer}",
+                    params[f"dec_attn_{level}_{i}"], dims, heads_for(ch),
+                    use_new_attention_order,
+                )
+                layer += 1
+            if level and i == num_res_blocks:
+                if resblock_updown:
+                    _export_resblock(
+                        out, f"output_blocks.{idx}.{layer}", params[f"up_{level}"],
+                        dims,
+                    )
+                elif conv_resample:
+                    conv = params[f"up_{level}"]["conv"]
+                    out[f"output_blocks.{idx}.{layer}.conv.weight"] = _torch_conv(
+                        conv["kernel"],
+                    )
+                    out[f"output_blocks.{idx}.{layer}.conv.bias"] = conv["bias"]
+                ds //= 2
+            idx += 1
+
+    _export_groupnorm(out, "out.0", params["norm_out"])
+    out["out.2.weight"] = _torch_conv(params["conv_out"]["kernel"])
+    out["out.2.bias"] = params["conv_out"]["bias"]
+    return out.sd
+
+
+def save_torch_checkpoint(params: dict, path, **export_kwargs) -> None:
+    """``torch.save`` our backbone params as a reference-layout ``model.pth``
+    (the reference's own save format, utils.py:166-167). Requires torch."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v, dtype=np.float32))
+        for k, v in export_unet_state_dict(params, **export_kwargs).items()
+    }
+    torch.save(sd, str(path))

@@ -66,7 +66,11 @@ class UNetDiffuser(nn.Module):
             cond_fn=self.cond_fn,
             use_checkpoint=self.use_checkpoint,
             use_fp16=self.use_fp16,
+            # UNet2DModel defaults attention_head_dim=8 -> channels/8 heads
+            # at every attention site; mirror that head structure so HF
+            # checkpoints transplant faithfully (interop/hf_unet_weights.py)
             num_heads=1,
+            num_head_channels=8,
             activation=self.activation,
             dtype=self.dtype,
             name="model",

@@ -67,6 +67,11 @@ def conv_nd(
     """An n-dimensional convolution (reference layers.py:77-88).
 
     ``padding='SAME'`` corresponds to the reference's padding=k//2 for odd k.
+    For stride 1 the two are identical; for strided convs XLA's "SAME"
+    splits the total padding as (total//2, total-total//2) which on
+    even-sized inputs gives (0, 1) — a one-pixel shift versus torch's
+    symmetric k//2 padding (reference Downsample, unet_v2.py:153-162).
+    We therefore always lower "SAME" to the explicit symmetric form.
     """
     if isinstance(stride, int):
         stride = (stride,) * dims
@@ -86,6 +91,8 @@ def conv_nd(
             features=features, strides=tuple(stride), zero_init=zero_init,
             dtype=dtype, name=name,
         )
+    if padding == "SAME":
+        padding = (kernel_size - 1) // 2
     if isinstance(padding, int):
         padding = [(padding, padding)] * dims
     kwargs = {}
@@ -270,7 +277,7 @@ class Conv3dVia2d(nn.Module):
                 xs,
                 kz[dz],
                 window_strides=self.strides[1:],
-                padding="SAME",
+                padding=((1, 1), (1, 1)),  # torch-style k//2, not XLA "SAME"
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             out = o if out is None else out + o

@@ -80,17 +80,40 @@ def load_weights_auto(params_template, path: str | Path, model_kwargs=None):
     migration UX for reference-trained checkpoints).
     """
     path = Path(path)
-    if path.suffix in (".pth", ".pt"):
-        from rho_diffusion_tpu.interop.torch_weights import load_torch_checkpoint
+    if path.suffix in (".pth", ".pt", ".bin"):
+        import torch
 
-        kw = {k: v for k, v in (model_kwargs or {}).items() if k in _TRANSPLANT_KEYS}
-        if "model_channels" not in kw or "num_res_blocks" not in kw:
-            raise ValueError(
-                "transplanting a torch .pth checkpoint requires the model "
-                "config to specify at least model_channels and num_res_blocks "
-                f"(got keys {sorted((model_kwargs or {}).keys())})",
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if any("down_blocks." in k for k in sd):
+            # HF UNet2DModel layout (reference UNet_Diffuser checkpoints,
+            # unet_diffusers.py:37-74) — detected by its distinctive keys
+            from rho_diffusion_tpu.interop.hf_unet_weights import (
+                transplant_hf_unet2d_state_dict,
             )
-        params = load_torch_checkpoint(path, **kw)
+
+            params = transplant_hf_unet2d_state_dict(
+                sd,
+                attention_head_dim=(model_kwargs or {}).get(
+                    "attention_head_dim", 8,
+                ),
+            )
+        else:
+            from rho_diffusion_tpu.interop.torch_weights import (
+                transplant_unet_state_dict,
+            )
+
+            kw = {
+                k: v for k, v in (model_kwargs or {}).items()
+                if k in _TRANSPLANT_KEYS
+            }
+            if "model_channels" not in kw or "num_res_blocks" not in kw:
+                raise ValueError(
+                    "transplanting a torch .pth checkpoint requires the model "
+                    "config to specify at least model_channels and "
+                    "num_res_blocks "
+                    f"(got keys {sorted((model_kwargs or {}).keys())})",
+                )
+            params = transplant_unet_state_dict(sd, **kw)
         # validate against the template: same leaves, same shapes
         tpl_flat = jax.tree_util.tree_flatten_with_path(params_template)[0]
         got = {jax.tree_util.keystr(k): v for k, v in

@@ -12,7 +12,9 @@ from rho_diffusion_tpu.ops.convolution import Conv3dVia2d
 @pytest.mark.parametrize("strides", [(1, 1, 1), (1, 2, 2)])
 def test_matches_native_conv3d(strides):
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 8, 8, 4))
-    ref = nn.Conv(5, (3, 3, 3), strides=strides, padding="SAME",
+    # torch-style symmetric k//2 padding — the framework convention
+    # (ops/convolution.py conv_nd); XLA "SAME" differs for strided convs
+    ref = nn.Conv(5, (3, 3, 3), strides=strides, padding=[(1, 1)] * 3,
                   param_dtype=jnp.float32)
     p = ref.init(jax.random.PRNGKey(1), x)["params"]
     alt = Conv3dVia2d(features=5, strides=strides)

@@ -93,9 +93,31 @@ def test_sha512_embedding_matches(ref):
         np.testing.assert_array_equal(ours, theirs)
 
 
+def _perturb_(module, seed=0, scale=0.05):
+    """Add deterministic noise to EVERY parameter of a torch module.
+
+    The reference zero-initialises each ResBlock's out conv, every
+    attention proj_out, and the UNet's final conv (unet_v2.py:240, 331,
+    682 via layers.py zero_module) — so a freshly built model outputs
+    exactly 0 and transplanted-weight forward comparisons would be
+    vacuously equal (this masked a Downsample padding misalignment for
+    two rounds). Perturbing all weights makes every layer's contribution
+    observable at the output.
+    """
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.add_(scale * torch.randn(p.shape, generator=g, dtype=p.dtype))
+    return module
+
+
+def _rel_mse(out_t, out_j):
+    return float(np.mean((out_t - out_j) ** 2) / (np.mean(out_t**2) + 1e-12))
+
+
 def _build_pair(ref, dims, spatial, space=None):
     """Build reference torch UNetv2 + our flax UNet with identical
-    (transplanted) weights."""
+    (transplanted, noise-perturbed — see _perturb_) weights."""
     torch.manual_seed(0)
     mc, mult, attn, heads, nrb = 32, (1, 2), [2], 2, 1
     cond_t = None
@@ -122,6 +144,9 @@ def _build_pair(ref, dims, spatial, space=None):
         num_heads=heads,
         use_scale_shift_norm=True,
     ).eval()
+    _perturb_(t_model)
+    if cond_t is not None:
+        _perturb_(cond_t, seed=1)
     # include cond_fn params in the state dict namespace used by transplant
     sd = t_model.state_dict()
     if cond_t is not None:
@@ -165,8 +190,9 @@ def test_unet_forward_field_mse(ref, dims, spatial):
     out_j = np.asarray(
         j_model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t)),
     )
-    mse = float(np.mean((out_t - out_j) ** 2))
-    assert mse < 1e-10, f"field MSE {mse}"
+    assert np.mean(out_t**2) > 1e-8, "output must be non-trivial (see _perturb_)"
+    mse = _rel_mse(out_t, out_j)
+    assert mse < 1e-9, f"relative field MSE {mse}"
 
 
 def test_unet_forward_conditioned_field_mse(ref):
@@ -194,8 +220,9 @@ def test_unet_forward_conditioned_field_mse(ref):
                 {"params": params}, jnp.asarray(x), jnp.asarray(t), jnp.asarray(y),
             ),
         )
-        mse = float(np.mean((out_t - out_j) ** 2))
-        assert mse < 1e-10, f"field MSE {mse} for labels {y.shape}"
+        assert np.mean(out_t**2) > 1e-8, "output must be non-trivial"
+        mse = _rel_mse(out_t, out_j)
+        assert mse < 1e-9, f"relative field MSE {mse} for labels {y.shape}"
 
 
 def test_ddpm_rollout_field_mse(ref):
@@ -286,7 +313,7 @@ def test_unet_flag_variants_field_mse(ref, flags):
         use_new_attention_order=flags.get("use_new_attention_order", False),
         conv_resample=flags.get("conv_resample", True),
     )
-    t_model = ref["unet_v2"].UNet(data_shape=[8, 8], **kwargs).eval()
+    t_model = _perturb_(ref["unet_v2"].UNet(data_shape=[8, 8], **kwargs).eval())
     j_model = UNet(data_shape=(8, 8), **kwargs)
     params = transplant_unet_state_dict(
         t_model.state_dict(), model_channels=mc, num_res_blocks=nrb,
@@ -308,5 +335,6 @@ def test_unet_flag_variants_field_mse(ref, flags):
     out_j = np.asarray(
         j_model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t)),
     )
-    mse = float(np.mean((out_t - out_j) ** 2))
-    assert mse < 1e-10, f"field MSE {mse} for {flags}"
+    assert np.mean(out_t**2) > 1e-8, "output must be non-trivial"
+    mse = _rel_mse(out_t, out_j)
+    assert mse < 1e-9, f"relative field MSE {mse} for {flags}"

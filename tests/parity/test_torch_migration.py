@@ -68,6 +68,108 @@ def test_load_weights_auto_transplants_pth(saved_pth):
     assert float(np.mean((out_t - out_j) ** 2)) < 1e-10
 
 
+def test_load_weights_auto_detects_hf_layout(tmp_path):
+    """A ``.pth`` in HF UNet2DModel layout (reference UNet_Diffuser
+    checkpoints, unet_diffusers.py:37-74) is auto-detected by its
+    ``down_blocks.*`` keys and routed through the HF transplant."""
+    from test_hf_unet_transplant import HFUNet2DMirror  # same dir
+
+    from rho_diffusion_tpu.models.unet_diffusers_compat import UNetDiffuser
+
+    torch.manual_seed(0)
+    mirror = HFUNet2DMirror().eval()
+    path = tmp_path / "hf_model.pth"
+    torch.save(mirror.state_dict(), str(path))
+
+    model = UNetDiffuser(data_shape=(16, 16), in_channels=1, num_res_blocks=2)
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, 16, 1)), jnp.zeros((1,), jnp.int32),
+    )["params"]
+    loaded = load_weights_auto(template, path, model_kwargs={})
+
+    x = torch.randn(2, 1, 16, 16)
+    t = torch.tensor([3, 11])
+    with torch.no_grad():
+        ref_out = mirror(x, t).numpy()
+    ours = np.asarray(model.apply(
+        {"params": loaded},
+        jnp.asarray(x.numpy()).transpose(0, 2, 3, 1), jnp.asarray(t.numpy()),
+    )).transpose(0, 3, 1, 2)
+    assert float(np.mean((ours - ref_out) ** 2)) < 1e-9
+
+
+def test_export_unet_state_dict_is_exact_inverse(saved_pth):
+    """flax -> torch export (interop.export_unet_state_dict) must be the
+    bit-exact inverse of the transplant: same keys as the reference's own
+    state_dict, identical arrays."""
+    from rho_diffusion_tpu.interop import export_unet_state_dict
+
+    _, t_model, _, params = saved_pth
+    sd = export_unet_state_dict(
+        params, dims=2, model_channels=32, num_res_blocks=1,
+        channel_mult=(1, 2), attention_resolutions=(2,), num_heads=2,
+    )
+    ref_sd = {k: v.numpy() for k, v in t_model.state_dict().items()}
+    assert sorted(sd) == sorted(ref_sd)
+    for k in ref_sd:
+        np.testing.assert_array_equal(sd[k], ref_sd[k], err_msg=k)
+
+
+def test_save_torch_checkpoint_loads_into_reference(saved_pth, tmp_path, ref):  # noqa: F811
+    """save_torch_checkpoint writes a ``model.pth`` a reference user can
+    torch.load into their own UNetv2 with strict=True and get our forward."""
+    from rho_diffusion_tpu.interop import save_torch_checkpoint
+
+    _, t_model, j_model, params = saved_pth
+    path = tmp_path / "exported.pth"
+    save_torch_checkpoint(
+        params, path, dims=2, model_channels=32, num_res_blocks=1,
+        channel_mult=(1, 2), attention_resolutions=(2,), num_heads=2,
+    )
+    fresh = ref["unet_v2"].UNet(
+        data_shape=[8, 8], dims=2, in_channels=1, out_channels=1,
+        model_channels=32, num_res_blocks=1, channel_mult=[1, 2],
+        attention_resolutions=[2], num_heads=2, use_scale_shift_norm=True,
+    ).eval()
+    fresh.load_state_dict(torch.load(str(path), weights_only=True), strict=True)
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 8, 8, 1)).astype(np.float32)
+    t = np.array([5, 13])
+    with torch.no_grad():
+        out_t = fresh(torch.tensor(np.moveaxis(x, -1, 1)), torch.tensor(t)).numpy()
+    out_j = np.asarray(
+        j_model.apply({"params": params}, jnp.asarray(x), jnp.asarray(t)),
+    )
+    assert float(np.mean((np.moveaxis(out_t, 1, -1) - out_j) ** 2)) < 1e-10
+
+
+def test_export_new_attention_order_round_trip(ref):  # noqa: F811
+    """use_new_attention_order=True: the qkv channel re-permutation must
+    invert exactly through transplant -> export."""
+    from rho_diffusion_tpu.interop import export_unet_state_dict
+    from rho_diffusion_tpu.interop.torch_weights import transplant_unet_state_dict
+
+    torch.manual_seed(2)
+    kwargs = dict(
+        dims=2, in_channels=1, out_channels=1, model_channels=32,
+        num_res_blocks=1, channel_mult=[1, 2], attention_resolutions=[2],
+        num_heads=1, num_head_channels=16, use_new_attention_order=True,
+    )
+    t_model = ref["unet_v2"].UNet(data_shape=[8, 8], **kwargs).eval()
+    arch = dict(
+        model_channels=32, num_res_blocks=1, channel_mult=(1, 2),
+        attention_resolutions=(2,), num_heads=1, num_head_channels=16,
+        use_new_attention_order=True,
+    )
+    params = transplant_unet_state_dict(t_model.state_dict(), **arch)
+    sd = export_unet_state_dict(params, dims=2, **arch)
+    ref_sd = {k: v.numpy() for k, v in t_model.state_dict().items()}
+    assert sorted(sd) == sorted(ref_sd)
+    for k in ref_sd:
+        np.testing.assert_array_equal(sd[k], ref_sd[k], err_msg=k)
+
+
 def test_load_weights_auto_requires_arch_kwargs(saved_pth):
     path, _, _, params = saved_pth
     with pytest.raises(ValueError, match="model_channels"):
