@@ -3,12 +3,14 @@
 Trains the flagship 3D UNet (mc=64, mult 1/2/4/8) as a conditional DDPM on
 on-the-fly 64^3 Y_lm fields for DEMO_STEPS steps at batch 8 (the measured
 single-chip frontier, RESULTS.md), then DDIM-50 samples 8 volumes with the
-EMA weights conditioned on the first 8 (l, m) grid rows, and records:
+EMA weights conditioned on the first 8 PHYSICAL (l, m) pairs (|m| <= l —
+the combinations the dataset can actually emit), and records:
 
 * the loss curve (docs/demo/demo64_metrics.json),
-* centre-slice grids of generated vs real volumes
-  (docs/demo/demo64_samples.png / demo64_real.png),
-* the Sinkhorn-Wasserstein divergence between generated and real batches.
+* centre-slice grids of generated vs ground-truth volumes for the SAME
+  (l, m) pairs (docs/demo/demo64_samples.png / demo64_real.png),
+* the Sinkhorn-Wasserstein divergence between the condition-matched
+  generated and ground-truth batches.
 
 The training program and the DDIM sampler are the same XLA programs as
 bench.py's BENCH_GRID=64 runs, so the persistent compile cache makes this
@@ -84,17 +86,22 @@ for i, b in enumerate(prefetch_to_device(iter(loader))):
               flush=True)
 train_wall = time.perf_counter() - t0
 
-# -- DDIM-50 sampling with EMA weights, conditioned on the first 8 rows ----
+# -- DDIM-50 sampling with EMA weights, conditioned on the first 8 valid
+# (l, m) pairs. NB the raw Cartesian space l x m contains unphysical rows
+# (|m| > l) the dataset never emits, so enumerate |m| <= l explicitly and
+# build the SAME sha512 hash embeddings the training labels used.
+from rho_diffusion_tpu.data.synthetic import compute_spherical_harmonic  # noqa: E402
+from rho_diffusion_tpu.utils import calculate_sha512_embedding  # noqa: E402
+
 sampler = GaussianDiffusionPipeline(
     backbone="UNetv2", backbone_kwargs=backbone_kwargs,
     schedule=LinearSchedule(1000), model_mean_type="epsilon",
     model_var_type="fixed_large", optimizer="AdamW",
 )
-space = dset.parameter_space
-conds = sampler.conditions_from_parameter_space(
-    space.parameters if hasattr(space, "parameters") else space,
-    BATCH, random=False, as_hash_embeddings=True, embedding_dim=4 * MC,
-)
+pairs = [(l, m) for l in range(dset.max_l) for m in range(-l, l + 1)][:BATCH]
+conds = jnp.asarray(np.stack([
+    calculate_sha512_embedding({"l": l, "m": m}, l=4 * MC) for l, m in pairs
+]))
 params = state.ema_params if state.ema_params is not None else state.params
 fn = jax.jit(lambda p, r, c: sampler.reverse_process(
     p, r, sampler.sample_shape(BATCH), c, sampler="ddim", num_steps=50,
@@ -105,8 +112,13 @@ sample_wall = time.perf_counter() - t0
 print(f"sampled {samples.shape} in {sample_wall:.1f}s "
       f"finite={np.isfinite(samples).all()}", flush=True)
 
-# real volumes for the same first-8 conditions
-real = np.stack([np.asarray(dset[j][0]) for j in range(BATCH)])
+# ground-truth volumes for the SAME (l, m) pairs (deterministic fields —
+# the dataset's __getitem__ draws random pairs, so compute them directly)
+grid = {k: dset.grid_kwargs[k] for k in ("x", "y", "z")}
+real = np.stack([
+    compute_spherical_harmonic(**grid, m=m, l=l)[1].astype(np.float32)[..., None]
+    for l, m in pairs
+])
 w = WassersteinWrapper()
 div = float(np.mean(np.asarray(w(jnp.asarray(samples), jnp.asarray(real)))))
 div_untrained = float(np.mean(np.asarray(w(
@@ -120,6 +132,7 @@ plot_tensor_images(real, filename=os.path.join(OUT, "demo64_real.png"))
 with open(os.path.join(OUT, "demo64_metrics.json"), "w") as f:
     json.dump({
         "grid": GRID, "batch": BATCH, "steps": STEPS,
+        "condition_pairs_lm": pairs,
         "losses": losses, "train_wall_s": round(train_wall, 1),
         "ddim50_sample_wall_s": round(sample_wall, 1),
         "sinkhorn_generated_vs_real": div,

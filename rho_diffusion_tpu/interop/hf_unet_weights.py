@@ -53,16 +53,9 @@ from rho_diffusion_tpu.interop.torch_weights import (
     _conv_kernel,
     _dense_from_conv1x1,
     _dense_from_linear,
+    _groupnorm as _gn,
+    _to_numpy,
 )
-
-
-def _gn(sd: _SD, prefix: str) -> dict:
-    return {
-        "GroupNorm_0": {
-            "scale": sd(f"{prefix}.weight"),
-            "bias": sd(f"{prefix}.bias"),
-        },
-    }
 
 
 def _resnet(sd: _SD, prefix: str) -> dict:
@@ -159,10 +152,7 @@ def transplant_hf_unet2d_state_dict(
     ``attention_head_dim`` is UNet2DModel's ctor default (8); pass the
     model's value if it was configured differently.
     """
-    flat = {
-        k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
-        for k, v in state_dict.items()
-    }
+    flat = {k: _to_numpy(v) for k, v in state_dict.items()}
     cond = {}
     unet_sd = {}
     for k, v in flat.items():

@@ -111,6 +111,17 @@ def load_reference_modules(root: Path = REFERENCE_ROOT) -> dict[str, Any]:
 # state_dict -> flax params
 # ---------------------------------------------------------------------------
 
+def _to_numpy(v) -> np.ndarray:
+    """torch tensor (any dtype, incl. bfloat16, which numpy can't represent
+    natively) or array-like -> float numpy array."""
+    if hasattr(v, "detach"):  # torch tensor
+        v = v.detach()
+        if str(v.dtype) == "torch.bfloat16":
+            v = v.float()
+        return v.numpy()
+    return np.asarray(v)
+
+
 def _conv_kernel(w: np.ndarray) -> np.ndarray:
     """torch conv weight [O, I, *K] -> flax [*K, I, O]."""
     spatial = list(range(2, w.ndim))
@@ -140,7 +151,7 @@ class _SD:
     """state_dict accessor tracking consumed keys."""
 
     def __init__(self, sd: dict) -> None:
-        self.sd = {k: np.asarray(v) for k, v in sd.items()}
+        self.sd = {k: _to_numpy(v) for k, v in sd.items()}
         self.used: set[str] = set()
 
     def __call__(self, key: str) -> np.ndarray:
@@ -241,7 +252,7 @@ def transplant_unet_state_dict(
     indices land on our named blocks (enc_res_{level}_{i}, down_{level},
     mid_*, dec_res_{level}_{i}, up_{level}).
     """
-    sd = _SD({k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in state_dict.items()})
+    sd = _SD(state_dict)
     params: dict = {}
 
     def heads_for(ch: int) -> int:

@@ -45,6 +45,11 @@ class UNetDiffuser(nn.Module):
     use_scale_shift_norm: bool = False
     resblock_updown: bool = False
     use_new_attention_order: bool = False
+    # UNet2DModel's per-head channel width (its ctor default is 8). Kept as
+    # a real field so checkpoints trained with a different head_dim can be
+    # constructed AND transplanted consistently (training/checkpoint.py
+    # forwards the same value to the HF weight transplant).
+    attention_head_dim: int = 8
     activation: Any = "SiLU"
     dtype: Any = jnp.float32
 
@@ -66,11 +71,11 @@ class UNetDiffuser(nn.Module):
             cond_fn=self.cond_fn,
             use_checkpoint=self.use_checkpoint,
             use_fp16=self.use_fp16,
-            # UNet2DModel defaults attention_head_dim=8 -> channels/8 heads
-            # at every attention site; mirror that head structure so HF
-            # checkpoints transplant faithfully (interop/hf_unet_weights.py)
+            # UNet2DModel uses channels/attention_head_dim heads at every
+            # attention site; mirror that head structure so HF checkpoints
+            # transplant faithfully (interop/hf_unet_weights.py)
             num_heads=1,
-            num_head_channels=8,
+            num_head_channels=self.attention_head_dim,
             activation=self.activation,
             dtype=self.dtype,
             name="model",

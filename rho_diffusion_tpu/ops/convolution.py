@@ -67,11 +67,14 @@ def conv_nd(
     """An n-dimensional convolution (reference layers.py:77-88).
 
     ``padding='SAME'`` corresponds to the reference's padding=k//2 for odd k.
-    For stride 1 the two are identical; for strided convs XLA's "SAME"
-    splits the total padding as (total//2, total-total//2) which on
-    even-sized inputs gives (0, 1) — a one-pixel shift versus torch's
-    symmetric k//2 padding (reference Downsample, unet_v2.py:153-162).
-    We therefore always lower "SAME" to the explicit symmetric form.
+    For stride 1 the two are identical, and "SAME" is kept as-is so that
+    even kernel sizes stay shape-preserving (torch cannot express that
+    case at all: n + 2p - k + 1 == n has no integer p for even k). For
+    STRIDED convs XLA's "SAME" splits the total padding as
+    (total//2, total-total//2), which on even-sized inputs gives (0, 1) —
+    a one-pixel shift versus torch's symmetric k//2 padding (reference
+    Downsample, unet_v2.py:153-162) — so there we lower to the explicit
+    symmetric form.
     """
     if isinstance(stride, int):
         stride = (stride,) * dims
@@ -91,7 +94,7 @@ def conv_nd(
             features=features, strides=tuple(stride), zero_init=zero_init,
             dtype=dtype, name=name,
         )
-    if padding == "SAME":
+    if padding == "SAME" and any(s != 1 for s in stride):
         padding = (kernel_size - 1) // 2
     if isinstance(padding, int):
         padding = [(padding, padding)] * dims

@@ -19,10 +19,24 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent compilation cache: the heavy SPMD tests (spatial/ring CP,
+# 2-process distributed) spend minutes in XLA:CPU compiles on the single
+# host core; caching compiled executables across suite runs cuts rerun
+# wall-clock sharply. Keyed by HLO + platform, so code changes still
+# recompile. Subprocess-based tests inherit it via the env var.
+_cache_dir = os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/rho_test_jax_cache",
+)
+os.makedirs(_cache_dir, exist_ok=True)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# the cache refuses CPU backends unless explicitly allowed
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 assert jax.default_backend() == "cpu", (
     f"tests must run on CPU, got {jax.default_backend()}"
