@@ -72,6 +72,11 @@ class TrainingConfig(BaseModel):
     # grad_norm logging re-reads every gradient (~2% of the flagship step);
     # the reference logged only loss+psnr, so it is opt-out.
     log_grad_norm: bool = True
+    # Gradient accumulation: average gradients over N sequential
+    # microbatches (batch_size must divide evenly) before the single
+    # optimizer update — large effective batches within one chip's HBM
+    # (e.g. 64^3 at effective b32 = 4 x b8 where b16 measured OOM).
+    grad_accum: int = 1
     val_fraction: float = 0.0  # held-out split evaluated each epoch
     validate_every_n_epochs: int = 1
     # Parallel layout. ``mesh`` picks the ("data", "context") device mesh,

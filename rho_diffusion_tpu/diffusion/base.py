@@ -63,6 +63,7 @@ class AbstractDiffusionPipeline:
         clip_grad_norm: Optional[float] = None,
         learning_rate: Optional[Any] = None,  # overrides opt_kwargs lr; may be a schedule
         log_grad_norm: bool = True,
+        grad_accum: int = 1,
     ) -> None:
         # --- resolve the conditioning module first so the backbone can own
         # it as a submodule (reference attaches it post-hoc,
@@ -123,6 +124,14 @@ class AbstractDiffusionPipeline:
         # the reference logs only loss+psnr (ddpm.py:283-287), so the norm
         # is optional. Trainer configs expose training.log_grad_norm.
         self.log_grad_norm = bool(log_grad_norm)
+        # Gradient accumulation: one optimizer step per training_step call,
+        # gradients averaged over ``grad_accum`` sequential microbatches via
+        # lax.scan — activation memory is bounded by ONE microbatch, so
+        # large effective batches fit where the monolithic batch OOMs
+        # (measured: 64^3 b16 needs 17-23 GB on a 16 GB chip even with
+        # remat; b8 x grad_accum reaches the same effective batch within
+        # budget — RESULTS.md r3 memory frontier).
+        self.grad_accum = max(int(grad_accum), 1)
         if isinstance(optimizer, str) or optimizer is None:
             self.tx = build_optimizer(
                 self.opt_name,
@@ -206,15 +215,57 @@ class AbstractDiffusionPipeline:
         gradient all-reduce on ICI — no DDP wrapper (cf. reference
         xpu.py:290-422)."""
 
+        accum = self.grad_accum
+
+        def grads_and_metrics(params, batch, step_rng):
+            if accum == 1:
+                (_, metrics), grads = jax.value_and_grad(
+                    lambda p: self.loss_and_metrics(p, batch, step_rng),
+                    has_aux=True,
+                )(params)
+                return grads, metrics
+
+            # --- gradient accumulation: scan over microbatches ---
+            def split_micro(x):
+                if x.shape[0] % accum:
+                    raise ValueError(
+                        f"batch size {x.shape[0]} is not divisible by "
+                        f"grad_accum={accum}",
+                    )
+                return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+
+            micro = jax.tree_util.tree_map(split_micro, batch)
+            rngs = jax.random.split(step_rng, accum)
+
+            def micro_step(mb, r):
+                (_, metrics), grads = jax.value_and_grad(
+                    lambda p: self.loss_and_metrics(p, mb, r), has_aux=True,
+                )(params)
+                return grads, metrics
+
+            zeros = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(
+                    micro_step,
+                    jax.tree_util.tree_map(lambda x: x[0], micro),
+                    rngs[0],
+                ),
+            )
+
+            def body(carry, xs):
+                mb, r = xs
+                out = micro_step(mb, r)
+                return jax.tree_util.tree_map(jnp.add, carry, out), None
+
+            (grads, metrics), _ = jax.lax.scan(body, zeros, (micro, rngs))
+            inv = 1.0 / accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+            return grads, metrics
+
         def train_step(state: TrainState, batch):
             rng, step_rng = jax.random.split(state.rng)
-
-            def loss_fn(params):
-                return self.loss_and_metrics(params, batch, step_rng)
-
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params,
-            )
+            grads, metrics = grads_and_metrics(state.params, batch, step_rng)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = jax.tree_util.tree_map(
                 lambda p, u: p + u.astype(p.dtype), state.params, updates,

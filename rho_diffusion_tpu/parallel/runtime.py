@@ -57,6 +57,46 @@ def barrier(name: str = "rho_barrier") -> None:
     jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x).block_until_ready()
 
 
+def mpi_world_from_env(env: Optional[dict] = None) -> Optional[dict]:
+    """Resolve world size / rank / coordinator from MPI-launcher env vars.
+
+    The reference's IntelMPIEnvironment read Intel MPI's PMI_* variables
+    with Open MPI and torchrun fallbacks, and resolved the rendezvous host
+    from HYDRA_BSTRAP_LOCALHOST (/root/reference/rho_diffusion/xpu.py:
+    81-129; utils.py:45-81 used tcp://127.0.0.1:29600). This keeps that
+    launcher contract so ``mpiexec -n N python scripts/training_ddp.py``
+    works unchanged: the same env vars now feed
+    ``jax.distributed.initialize`` instead of a torch process group.
+
+    Returns None when no launcher env is present (single-process run), else
+    ``{num_processes, process_id, local_rank, coordinator_address}``.
+    """
+    import os
+
+    env = os.environ if env is None else env
+
+    def _first(*names: str) -> Optional[str]:
+        for name in names:
+            value = env.get(name)
+            if value not in (None, ""):
+                return value
+        return None
+
+    size = _first("PMI_SIZE", "OMPI_COMM_WORLD_SIZE", "WORLD_SIZE")
+    if size is None or int(size) <= 1:
+        return None
+    rank = _first("PMI_RANK", "OMPI_COMM_WORLD_RANK", "RANK") or "0"
+    local = _first("MPI_LOCALRANKID", "OMPI_COMM_WORLD_LOCAL_RANK", "LOCAL_RANK")
+    host = _first("HYDRA_BSTRAP_LOCALHOST", "MASTER_ADDR") or "127.0.0.1"
+    port = _first("MASTER_PORT") or "29600"
+    return {
+        "num_processes": int(size),
+        "process_id": int(rank),
+        "local_rank": int(local) if local is not None else None,
+        "coordinator_address": f"{host}:{port}",
+    }
+
+
 def runtime_summary() -> dict:
     return {
         "backend": jax.default_backend(),

@@ -118,6 +118,7 @@ def build_pipeline_from_config(
         world_size=world_size,
         ema_decay=config.training.ema_decay,
         log_grad_norm=config.training.log_grad_norm,
+        grad_accum=config.training.grad_accum,
         sample_every_n_epochs=config.training.sample_every_n_epochs,
         save_checkpoint_every_n_epochs=config.training.save_checkpoint_every_n_epochs,
         **pipeline_kwargs,
