@@ -54,7 +54,10 @@ def test_two_process_training_matches_single_process():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            # generous budget: each worker compiles its own SPMD program;
+            # on a contended single-core CI box two concurrent cold
+            # compiles have been observed to exceed 600 s
+            out, _ = p.communicate(timeout=1800)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
