@@ -28,8 +28,14 @@ import sys
 import time
 
 
-def _previous_bench_value() -> float | None:
-    """Newest BENCH_r{N}.json value, if any rounds have been recorded."""
+def _previous_bench_value(metric: str) -> float | None:
+    """Newest BENCH_r{N}.json value FOR THE SAME METRIC, if recorded.
+
+    The BENCH_DIMS/BENCH_MODE/BENCH_GRID knobs emit differently-named
+    metrics; comparing across them (2D steps/s vs 3D steps/s, or seconds
+    vs steps/s) would be meaningless, so rounds whose recorded metric name
+    differs are skipped.
+    """
     best = None
     for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
@@ -39,8 +45,10 @@ def _previous_bench_value() -> float | None:
             with open(path) as f:
                 payload = json.load(f)
             # the driver nests the bench line under "parsed"
-            raw = payload.get("value", (payload.get("parsed") or {}).get("value"))
-            value = float(raw)
+            rec = payload if "value" in payload else (payload.get("parsed") or {})
+            if rec.get("metric") != metric:
+                continue
+            value = float(rec["value"])
         except Exception:
             continue
         rnd = int(m.group(1))
@@ -49,10 +57,14 @@ def _previous_bench_value() -> float | None:
     return best[1] if best else None
 
 
+def _grid_name(grid: int, dims: int) -> str:
+    return f"{grid}" + {3: "cubed", 2: "sq", 1: ""}[dims]
+
+
 def _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke) -> None:
-    dims = backbone_kwargs["dims"]
-    gname = f"{grid}" + {3: "cubed", 2: "sq", 1: ""}[dims]
     """DDIM-50 full-volume generation wall-clock with EMA-style weights."""
+    dims = backbone_kwargs["dims"]
+    gname = _grid_name(grid, dims)
     import time
 
     import jax
@@ -93,9 +105,10 @@ def _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke) -> None
     jax.block_until_ready(out)
     wall = (time.perf_counter() - t0) / iters
     finite = bool(np.isfinite(np.asarray(out)).all())
-    prev = _previous_bench_value()
+    metric = f"{sampler}{steps}_sample_wall_clock_{gname}_b{n}"
+    prev = _previous_bench_value(metric)
     result = {
-        "metric": f"{sampler}{steps}_sample_wall_clock_{gname}_b{n}",
+        "metric": metric,
         "value": round(wall, 4),
         "unit": "seconds",
         "vs_baseline": round(prev / wall, 4) if prev else 1.0,
@@ -264,12 +277,15 @@ def main() -> None:
     steps_per_sec_chip = steps / elapsed / n_chips
     loss = float(metrics["train_loss"])
 
-    prev = _previous_bench_value()
+    metric = (
+        f"train_steps_per_sec_per_chip_{dims}d_unet_{_grid_name(grid, dims)}_b{batch}"
+        if not smoke
+        else "train_steps_per_sec_per_chip_smoke"
+    )
+    prev = _previous_bench_value(metric)
     vs_baseline = steps_per_sec_chip / prev if prev else 1.0
     result = {
-        "metric": f"train_steps_per_sec_per_chip_{dims}d_unet_{grid}{'cubed' if dims == 3 else ('sq' if dims == 2 else '')}_b{batch}"
-        if not smoke
-        else "train_steps_per_sec_per_chip_smoke",
+        "metric": metric,
         "value": round(steps_per_sec_chip, 4),
         "unit": "steps/sec/chip",
         "vs_baseline": round(vs_baseline, 4),

@@ -743,7 +743,9 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         if num_steps and num_steps < coeffs.num_timesteps:
             coeffs = respace(coeffs, num_steps)
         p = use_ema_params if use_ema_params is not None else params
-        if t_checkpoints is None:
+        if t_checkpoints is None and not progressive:
+            # construction-time default; progressive=True already returns
+            # every frame, so the buffer would only conflict with it
             t_checkpoints = self.t_checkpoints
         return sample_loop(
             coeffs,

@@ -87,12 +87,30 @@ def mpi_world_from_env(env: Optional[dict] = None) -> Optional[dict]:
         return None
     rank = _first("PMI_RANK", "OMPI_COMM_WORLD_RANK", "RANK") or "0"
     local = _first("MPI_LOCALRANKID", "OMPI_COMM_WORLD_LOCAL_RANK", "LOCAL_RANK")
-    host = _first("HYDRA_BSTRAP_LOCALHOST", "MASTER_ADDR") or "127.0.0.1"
+    local_size = _first(
+        "MPI_LOCALNRANKS", "OMPI_COMM_WORLD_LOCAL_SIZE", "LOCAL_WORLD_SIZE",
+    )
+    host = _first("HYDRA_BSTRAP_LOCALHOST", "MASTER_ADDR")
+    if host is None:
+        # A loopback rendezvous only works when every rank is on this node.
+        # Open MPI exposes no coordinator host; if the launch is provably
+        # multi-node (local world < global world), demand an explicit
+        # address instead of silently hanging every remote rank against
+        # its own localhost.
+        if local_size is not None and int(local_size) < int(size):
+            raise RuntimeError(
+                f"multi-node launch detected ({local_size} local of {size} "
+                "global ranks) but no coordinator address: set MASTER_ADDR "
+                "(and optionally MASTER_PORT) to rank 0's host, or launch "
+                "with Intel MPI (HYDRA_BSTRAP_LOCALHOST).",
+            )
+        host = "127.0.0.1"
     port = _first("MASTER_PORT") or "29600"
     return {
         "num_processes": int(size),
         "process_id": int(rank),
         "local_rank": int(local) if local is not None else None,
+        "local_size": int(local_size) if local_size is not None else None,
         "coordinator_address": f"{host}:{port}",
     }
 

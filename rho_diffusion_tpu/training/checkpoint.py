@@ -129,6 +129,18 @@ def load_weights_auto(params_template, path: str | Path, model_kwargs=None):
                     f"{got[key].shape} vs model {v.shape}",
                 )
             leaves.append(np.asarray(got[key], dtype=v.dtype))
+        # strict both ways (the reference's load_state_dict default): a
+        # checkpoint carrying weights the model has no slot for (e.g. a
+        # cond_fn trained in, but absent from this config) must fail
+        # loudly, not silently drop the conditioning
+        extra = sorted(set(got) - {jax.tree_util.keystr(k) for k, _ in tpl_flat})
+        if extra:
+            raise KeyError(
+                f"checkpoint has {len(extra)} weight(s) the model config "
+                f"cannot place (first few: {extra[:4]}) — does the config "
+                "omit a cond_fn/conditioning block the checkpoint was "
+                "trained with?",
+            )
         treedef = jax.tree_util.tree_structure(params_template)
         return jax.tree_util.tree_unflatten(treedef, leaves)
     return load_model_weights(params_template, path)

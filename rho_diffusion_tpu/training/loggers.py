@@ -77,19 +77,20 @@ class CSVLogger:
     Trainer records are heterogeneous (lifecycle events like ``{event, step}``
     arrive before the first metrics row), so the header cannot be frozen to
     the first record's keys: when a record introduces new keys the file is
-    rewritten in place with the widened header (rows are retained in memory —
-    metrics files are small). Missing keys render as empty cells.
+    rewritten once with the widened header. Only the header lives in memory —
+    rewrites stream the existing file through a temp file, so a long run's
+    memory stays constant no matter how many rows were logged. Missing keys
+    render as empty cells.
     """
 
     def __init__(self, path: str | Path = "metrics.csv") -> None:
         self.path = Path(path)
         self._fields: list[str] = []
-        self._rows: list[dict[str, Any]] = []
         self._loaded = False
 
     def _load_existing(self) -> None:
-        """Adopt a previous run's rows/header so a preempted-and-resumed
-        process appends instead of truncating the metrics history."""
+        """Adopt a previous run's header so a preempted-and-resumed process
+        appends instead of truncating the metrics history."""
         self._loaded = True
         if not self.path.exists():
             return
@@ -99,40 +100,45 @@ class CSVLogger:
             reader = csv.DictReader(f)
             if reader.fieldnames:
                 self._fields = list(reader.fieldnames)
-                self._rows = [
-                    {k: v for k, v in row.items() if v not in ("", None)}
-                    for row in reader
-                ]
 
     def log(self, record: dict[str, Any]) -> None:
         if not self._loaded:
             self._load_existing()
         new_keys = [k for k in record if k not in self._fields]
-        self._rows.append(dict(record))
         if new_keys:
+            old_fields = list(self._fields)
             self._fields.extend(new_keys)
-            self._rewrite()
-        else:
-            self._append(record)
+            self._rewiden(old_fields)
+        self._append(record)
 
-    def _rewrite(self) -> None:
+    def _rewiden(self, old_fields: list[str]) -> None:
+        """Rewrite the file with the widened header, streaming row by row."""
         import csv
+        import os
+        import tempfile
 
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        with open(self.path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._fields, restval="")
+        fd, tmp = tempfile.mkstemp(
+            dir=str(self.path.parent), suffix=".csv.tmp",
+        )
+        with os.fdopen(fd, "w", newline="") as out:
+            w = csv.DictWriter(out, fieldnames=self._fields, restval="")
             w.writeheader()
-            w.writerows(self._rows)
+            if old_fields and self.path.exists():
+                with open(self.path, newline="") as f:
+                    for row in csv.DictReader(f):
+                        w.writerow({k: v for k, v in row.items() if v != ""})
+        os.replace(tmp, self.path)
 
     def _append(self, record: dict[str, Any]) -> None:
         import csv
 
+        self.path.parent.mkdir(parents=True, exist_ok=True)
         with open(self.path, "a", newline="") as f:
             csv.DictWriter(f, fieldnames=self._fields, restval="").writerow(record)
 
     def close(self) -> None:
-        # drop the in-memory copy; a later log() re-adopts the file
-        self._rows.clear()
+        # a later log() re-adopts the on-disk header
         self._fields = []
         self._loaded = False
 
@@ -189,6 +195,10 @@ def build_loggers(specs, work_dir: str | Path) -> list:
             continue
         if isinstance(spec, str):
             name, kwargs = spec, {}
+        elif isinstance(spec, dict):
+            # the ComponentConfig shape used everywhere else in the JSON
+            # config ({"name": ..., "kwargs": {...}})
+            name, kwargs = spec["name"], spec.get("kwargs") or {}
         else:
             name, kwargs = spec
         kwargs = {**defaults.get(name, {}), **kwargs}

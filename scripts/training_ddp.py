@@ -44,11 +44,23 @@ def main() -> None:
     from rho_diffusion_tpu.parallel.mesh import initialize_distributed
 
     if world is not None:
-        initialize_distributed(
+        # The launcher env explicitly demands a multi-process run, so a
+        # rendezvous failure must be FATAL: swallowing it would leave every
+        # rank as an independent process_count()==1 training, all writing
+        # the same work_dir (jax.distributed.initialize raises on failure;
+        # the forgiving initialize_distributed() wrapper is only for the
+        # maybe-single-process path below).
+        init_kwargs = dict(
             coordinator_address=world["coordinator_address"],
             num_processes=world["num_processes"],
             process_id=world["process_id"],
         )
+        if world.get("local_rank") is not None and (world.get("local_size") or 1) > 1:
+            # several ranks share this node: pin one local device per rank
+            # (otherwise each process claims every local accelerator and
+            # the second rank dies on the device lock)
+            init_kwargs["local_device_ids"] = [world["local_rank"]]
+        jax.distributed.initialize(**init_kwargs)
     else:
         # single process, or a managed environment (TPU pod / Slurm) where
         # jax.distributed can self-configure

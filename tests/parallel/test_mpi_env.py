@@ -28,6 +28,7 @@ def test_intel_mpi_pmi_vars():
         "num_processes": 4,
         "process_id": 2,
         "local_rank": 1,
+        "local_size": None,
         "coordinator_address": "node0.cluster:29600",
     }
 
@@ -56,6 +57,7 @@ def test_torchrun_fallback_and_master_addr_port():
         "num_processes": 8,
         "process_id": 5,
         "local_rank": 1,
+        "local_size": None,
         "coordinator_address": "10.0.0.7:12345",
     }
 
@@ -75,3 +77,40 @@ def test_missing_rank_defaults_to_zero():
     world = mpi_world_from_env({"PMI_SIZE": "2"})
     assert world["process_id"] == 0
     assert world["local_rank"] is None
+
+
+def test_local_size_resolved():
+    world = mpi_world_from_env({
+        "OMPI_COMM_WORLD_SIZE": "4",
+        "OMPI_COMM_WORLD_RANK": "1",
+        "OMPI_COMM_WORLD_LOCAL_RANK": "1",
+        "OMPI_COMM_WORLD_LOCAL_SIZE": "4",
+    })
+    assert world["local_size"] == 4
+    assert world["coordinator_address"] == "127.0.0.1:29600"
+
+
+def test_multinode_without_coordinator_raises():
+    """Open MPI exposes no coordinator host; a provably multi-node launch
+    (local world < global world) must fail loudly rather than hang every
+    remote rank against its own localhost."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="MASTER_ADDR"):
+        mpi_world_from_env({
+            "OMPI_COMM_WORLD_SIZE": "8",
+            "OMPI_COMM_WORLD_RANK": "5",
+            "OMPI_COMM_WORLD_LOCAL_RANK": "1",
+            "OMPI_COMM_WORLD_LOCAL_SIZE": "4",
+        })
+
+
+def test_multinode_with_master_addr_ok():
+    world = mpi_world_from_env({
+        "OMPI_COMM_WORLD_SIZE": "8",
+        "OMPI_COMM_WORLD_RANK": "5",
+        "OMPI_COMM_WORLD_LOCAL_RANK": "1",
+        "OMPI_COMM_WORLD_LOCAL_SIZE": "4",
+        "MASTER_ADDR": "10.0.0.3",
+    })
+    assert world["coordinator_address"] == "10.0.0.3:29600"

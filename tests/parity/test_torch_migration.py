@@ -170,6 +170,27 @@ def test_export_new_attention_order_round_trip(ref):  # noqa: F811
         np.testing.assert_array_equal(sd[k], ref_sd[k], err_msg=k)
 
 
+def test_load_weights_auto_rejects_unplaceable_weights(saved_pth):
+    """Strict both ways (reference load_state_dict default): a checkpoint
+    carrying weights the template has no slot for (e.g. a trained-in
+    cond_fn the config omits) must fail loudly, not silently drop them."""
+    path, _, _, params = saved_pth
+    # template missing an entire top-level block the checkpoint provides
+    template = {
+        k: jax.tree_util.tree_map(np.zeros_like, v)
+        for k, v in params.items() if "out" not in k
+    }
+    assert len(template) < len(params)
+    with pytest.raises(KeyError, match="cannot place"):
+        load_weights_auto(
+            template, path,
+            model_kwargs=dict(
+                model_channels=32, num_res_blocks=1, channel_mult=(1, 2),
+                attention_resolutions=(2,), num_heads=2,
+            ),
+        )
+
+
 def test_load_weights_auto_requires_arch_kwargs(saved_pth):
     path, _, _, params = saved_pth
     with pytest.raises(ValueError, match="model_channels"):

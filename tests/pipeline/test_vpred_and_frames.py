@@ -241,6 +241,28 @@ def test_diffusers_injected_schedule_infers_timesteps():
     assert pipe.coeffs.num_timesteps == 20
 
 
+def test_progressive_usable_with_construction_t_checkpoints():
+    """progressive=True must NOT inherit the construction-time checkpoint
+    buffer (regression: the None default was replaced by self.t_checkpoints
+    and sample_loop raised 'mutually exclusive' for a call that never
+    passed t_checkpoints)."""
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        optimizer="AdamW",
+        t_checkpoints=[0, 10],
+    )
+    state = pipe.create_state(jax.random.PRNGKey(0))
+    final, all_frames = pipe.reverse_process(
+        state.params, jax.random.PRNGKey(1), (1, 8, 8, 1), None,
+        sampler="ddim", progressive=True,
+    )
+    assert all_frames.shape[0] == 20
+    np.testing.assert_array_equal(np.asarray(all_frames[-1]), np.asarray(final))
+
+
 def test_progressive_and_t_checkpoints_conflict():
     pipe = GaussianDiffusionPipeline(
         backbone="UNetv2",

@@ -162,6 +162,24 @@ def test_midepoch_resume_consumes_identical_sequence(tmp_path):
     assert batches(consumed) == batches(full_sequence[8:])
 
 
+def test_build_loggers_accepts_component_config_shape(tmp_path):
+    """Logger specs accept the same {"name", "kwargs"} dict shape every
+    other config component uses, plus bare names and (name, kwargs) pairs."""
+    from rho_diffusion_tpu.training.loggers import CSVLogger, build_loggers
+
+    out = build_loggers(
+        [
+            "stdout",
+            {"name": "csv", "kwargs": {"path": tmp_path / "m.csv"}},
+            ("jsonl", {"path": tmp_path / "m.jsonl"}),
+        ],
+        work_dir=tmp_path,
+    )
+    assert len(out) == 3
+    assert isinstance(out[1], CSVLogger)
+    assert out[1].path == tmp_path / "m.csv"
+
+
 def test_csv_logger_preserves_history_across_restart(tmp_path):
     """A resumed process must append to (and widen) the existing CSV, not
     truncate the previous run's history."""
