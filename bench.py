@@ -121,7 +121,43 @@ def _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke) -> None
     print(json.dumps(result))
 
 
+def _require_live_backend() -> None:
+    """Fail fast if jax's default backend cannot initialise.
+
+    The tunneled-TPU backend BLOCKS indefinitely inside jax.devices() when
+    the tunnel is unreachable (observed outage: >3 h), which would hang the
+    whole bench run. Probe device init in a subprocess with a deadline and
+    exit with a diagnosable error instead. BENCH_BACKEND_TIMEOUT (seconds,
+    default 600) tunes the deadline; set 0 to skip the probe.
+    """
+    import subprocess
+
+    deadline = float(os.environ.get("BENCH_BACKEND_TIMEOUT", 600))
+    if deadline <= 0:
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=deadline,
+            check=True,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: backend device init did not finish within {deadline:.0f}s "
+            "— the TPU tunnel appears to be down. Aborting instead of "
+            "hanging (retry later, or set BENCH_BACKEND_TIMEOUT).",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+    except subprocess.CalledProcessError as exc:
+        tail = (exc.stderr or b"").decode(errors="replace")[-2000:]
+        print(f"bench: backend init failed:\n{tail}", file=sys.stderr)
+        sys.exit(3)
+
+
 def main() -> None:
+    _require_live_backend()
     # persistent compile cache: the tunneled-TPU remote compile of the 3D
     # UNet takes minutes cold; cached reruns are seconds.
     cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/rho_jax_cache")
