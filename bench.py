@@ -270,7 +270,7 @@ def main() -> None:
         elapsed = time.perf_counter() - t0
         n_chips = max(jax.device_count(), 1)
         value = steps / elapsed / n_chips
-        prev = _previous_bench_value()
+        prev = _previous_bench_value("train_steps_per_sec_per_chip_3d_unet_realdata")
         print(
             f"backend={jax.default_backend()} mode=realdata batch={batch} "
             f"grid={grid} warmup+compile={compile_s:.1f}s elapsed={elapsed:.2f}s "

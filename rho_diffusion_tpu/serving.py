@@ -1,0 +1,566 @@
+"""Production sampling service: compiled-sampler buckets + request batching.
+
+The reference ships only a one-shot CLI (`/root/reference/scripts/
+inference.py`): every invocation re-imports torch, re-loads the checkpoint
+and re-runs the full reverse loop eagerly. A deployment serving many
+generation requests needs the opposite shape, and on TPU the design is
+dictated by XLA's compilation model:
+
+* **Static shapes** — each distinct batch size is a separate compiled
+  program, so the service quantises requests onto a small ladder of
+  ``batch_buckets`` (padding the tail) instead of compiling per-request.
+* **Compile once, reuse forever** — per-bucket samplers are jitted once
+  (optionally pre-warmed at startup) and live for the process lifetime.
+* **Micro-batching** — a worker thread coalesces concurrent requests into
+  one device program launch; under jit the per-launch overhead dominates
+  small-batch sampling, so occupancy = throughput.
+* **Request-deterministic noise** — the initial latent x_T for each request
+  is derived host-side from the request's own seed, so a DDIM (eta=0)
+  request returns bit-identical samples regardless of which other requests
+  it was batched with. (Ancestral samplers also draw per-step noise from a
+  shared scan key; those are only deterministic for the batch as a whole.)
+
+Typical use::
+
+    service = SamplingService.from_config("config.json")  # loads EMA ckpt
+    fut = service.submit(conditions=rows, seed=123)
+    volumes = fut.result().samples            # np.ndarray [n, *grid, C]
+
+or over HTTP via ``scripts/serve.py``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class GenerationResult:
+    """One fulfilled request."""
+
+    samples: np.ndarray  # [n, *data_shape, out_channels]
+    latency_s: float  # enqueue -> fulfilment wall-clock
+    bucket: int  # compiled batch size the request rode in
+    batch_occupancy: float  # real samples / bucket for that launch
+
+
+@dataclass
+class _Chunk:
+    """A request (or a split piece of one) awaiting a device launch."""
+
+    conditions: Optional[np.ndarray]  # [n, cond_dim] or None
+    x_T: np.ndarray  # [n, *sample_shape[1:]]
+    n: int
+    enqueued_at: float
+    assembly: "_Assembly"
+    offset: int  # row offset of this chunk inside its request
+
+
+class _Assembly:
+    """Collects chunk outputs back into one request-ordered result."""
+
+    def __init__(self, total: int, future: Future) -> None:
+        self.total = total
+        self.future = future
+        self.parts: list[tuple[int, np.ndarray, int, float]] = []
+        self.lock = threading.Lock()
+
+    def deliver(
+        self, offset: int, samples: np.ndarray, bucket: int, occupancy: float,
+        enqueued_at: float,
+    ) -> None:
+        with self.lock:
+            self.parts.append((offset, samples, bucket, occupancy))
+            done = sum(p[1].shape[0] for p in self.parts) >= self.total
+        if done and not self.future.done():
+            self.parts.sort(key=lambda p: p[0])
+            out = np.concatenate([p[1] for p in self.parts], axis=0)
+            self.future.set_result(
+                GenerationResult(
+                    samples=out,
+                    latency_s=time.perf_counter() - enqueued_at,
+                    bucket=max(p[2] for p in self.parts),
+                    batch_occupancy=min(p[3] for p in self.parts),
+                ),
+            )
+
+    def fail(self, exc: BaseException) -> None:
+        if not self.future.done():
+            self.future.set_exception(exc)
+
+
+class SamplingService:
+    """Always-on generation service around one diffusion pipeline.
+
+    Parameters
+    ----------
+    pipeline:
+        A constructed pipeline (``DDPM`` / ``GaussianDiffusionPipeline`` /
+        ``DiffusersDDPMPipeline``).
+    params:
+        The weights to sample with (typically EMA weights).
+    sampler / num_steps / eta:
+        Sampling configuration, fixed per service (one compiled program per
+        bucket). ``sampler`` is ignored for the DDPM pipeline (always
+        ancestral, like the reference's ``reverse_process``).
+    cond_dim:
+        Width of the condition rows ([n, cond_dim]); ``None`` for an
+        unconditional service. Fixed per service — conditioning changes the
+        traced program.
+    batch_buckets:
+        Ascending compiled batch sizes. A request larger than the biggest
+        bucket is split across launches and reassembled transparently.
+    max_delay_s:
+        How long the batching worker waits to coalesce more requests after
+        the first one arrives. 0 disables coalescing (every request
+        launches immediately at the smallest fitting bucket).
+    warmup:
+        Compile every bucket at startup (otherwise first use pays compile).
+    """
+
+    def __init__(
+        self,
+        pipeline,
+        params,
+        *,
+        sampler: str = "ddim",
+        num_steps: Optional[int] = 50,
+        eta: float = 0.0,
+        cond_dim: Optional[int] = None,
+        batch_buckets: Sequence[int] = (1, 2, 4, 8),
+        max_delay_s: float = 0.002,
+        warmup: bool = False,
+    ) -> None:
+        import jax
+
+        if not batch_buckets or list(batch_buckets) != sorted(set(batch_buckets)):
+            raise ValueError(
+                f"batch_buckets must be ascending and unique, got {batch_buckets!r}",
+            )
+        self.pipeline = pipeline
+        self.params = params
+        self.sampler = sampler
+        self.num_steps = num_steps
+        self.eta = eta
+        self.cond_dim = cond_dim
+        self.buckets = tuple(int(b) for b in batch_buckets)
+        self.max_delay_s = float(max_delay_s)
+        self._sample_shape1 = tuple(pipeline.sample_shape(1)[1:])
+        self._compiled: dict[int, object] = {}
+        self._queue: queue.Queue[Optional[_Chunk]] = queue.Queue()
+        self._service_key = jax.random.PRNGKey(
+            int.from_bytes(os.urandom(4), "little"),
+        )
+        self._launch_counter = 0
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "requests": 0,
+            "samples": 0,
+            "launches": 0,
+            "occupancy_sum": 0.0,
+            "latencies_s": [],
+        }
+        self._closed = False
+        if warmup:
+            for b in self.buckets:
+                self._get_compiled(b)
+                self._launch(
+                    [
+                        _Chunk(
+                            conditions=(
+                                np.zeros((1, cond_dim), np.float32)
+                                if cond_dim
+                                else None
+                            ),
+                            x_T=self._draw_x_T(0, 1),
+                            n=1,
+                            enqueued_at=time.perf_counter(),
+                            assembly=_Assembly(1, Future()),
+                            offset=0,
+                        ),
+                    ],
+                    record_stats=False,
+                    bucket=b,
+                )
+        self._worker = threading.Thread(
+            target=self._worker_loop, name="sampling-service", daemon=True,
+        )
+        self._worker.start()
+
+    # -- construction helpers -----------------------------------------
+    @classmethod
+    def from_config(
+        cls,
+        config_path: str | Path,
+        checkpoint: str | Path | None = None,
+        **service_kwargs,
+    ) -> "SamplingService":
+        """Build pipeline + weights exactly like ``scripts/inference.py``:
+        registry-resolved components from the JSON config, weights from a
+        ``.pth``/``.npz`` file or the orbax checkpoint dir (EMA preferred,
+        ``inference.use_ema``)."""
+        import jax
+
+        from rho_diffusion_tpu.config import (
+            ExperimentConfig,
+            apply_torch_checkpoint_schedule_fixup,
+        )
+        from rho_diffusion_tpu.registry import registry
+        from rho_diffusion_tpu.training.trainer import build_pipeline_from_config
+
+        config = ExperimentConfig.from_json(config_path)
+        ds_cls = registry.get("datasets", config.dataset.name)
+        try:
+            dataset = ds_cls(**config.dataset.kwargs)
+        except Exception:
+            dataset = None
+        ckpt = checkpoint or config.inference.checkpoint
+        if apply_torch_checkpoint_schedule_fixup(config, ckpt):
+            pass  # cosine exact_reference table swapped in for torch ckpts
+        pipeline = build_pipeline_from_config(
+            config,
+            dataset=dataset,
+            pipeline_name=(
+                config.pipeline.name if config.pipeline
+                else "GaussianDiffusionPipeline"
+            ),
+        )
+        state = pipeline.create_state(jax.random.PRNGKey(config.inference.seed))
+        params = state.params
+        ckpt_dir = Path(config.training.checkpoint_dir or "checkpoints")
+        if ckpt and os.path.isfile(ckpt):
+            from rho_diffusion_tpu.training.checkpoint import load_weights_auto
+
+            params = load_weights_auto(
+                params, ckpt, model_kwargs=dict(config.model.kwargs),
+            )
+        elif ckpt_dir.exists():
+            from rho_diffusion_tpu.training.checkpoint import CheckpointManager
+
+            cm = CheckpointManager(ckpt_dir)
+            if cm.latest_step() is not None:
+                restored = cm.restore(state)
+                use_ema = (
+                    config.inference.use_ema and restored.ema_params is not None
+                )
+                params = restored.ema_params if use_ema else restored.params
+        if "sampler" not in service_kwargs:
+            service_kwargs["sampler"] = config.inference.sampler
+        if "num_steps" not in service_kwargs:
+            service_kwargs["num_steps"] = config.inference.ddim_steps or None
+        return cls(pipeline, params, **service_kwargs)
+
+    # -- public API ----------------------------------------------------
+    def submit(
+        self,
+        conditions: Optional[np.ndarray] = None,
+        n: Optional[int] = None,
+        seed: int = 0,
+    ) -> Future:
+        """Enqueue a generation request; returns a Future[GenerationResult].
+
+        ``conditions`` is [n, cond_dim] (or None for an unconditional
+        service); ``n`` defaults to ``len(conditions)`` (or 1). The request
+        is deterministic in ``seed`` for eta=0 DDIM sampling.
+        """
+        if self._closed:
+            raise RuntimeError("service is closed")
+        if conditions is not None:
+            conditions = np.asarray(conditions, np.float32)
+            if conditions.ndim == 1:
+                conditions = conditions[None]
+            if self.cond_dim is None:
+                raise ValueError(
+                    "unconditional service (cond_dim=None) got conditions",
+                )
+            if conditions.shape[-1] != self.cond_dim:
+                raise ValueError(
+                    f"conditions last dim {conditions.shape[-1]} != service "
+                    f"cond_dim {self.cond_dim}",
+                )
+            n = conditions.shape[0] if n is None else n
+            if conditions.shape[0] != n:
+                raise ValueError(
+                    f"n={n} but {conditions.shape[0]} condition rows given",
+                )
+        elif self.cond_dim is not None:
+            raise ValueError(
+                f"conditional service (cond_dim={self.cond_dim}) needs "
+                f"condition rows",
+            )
+        else:
+            n = 1 if n is None else n
+        if n < 1:
+            raise ValueError(f"n must be >= 1, got {n}")
+        future: Future = Future()
+        assembly = _Assembly(n, future)
+        x_T = self._draw_x_T(seed, n)
+        now = time.perf_counter()
+        max_bucket = self.buckets[-1]
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["samples"] += n
+        for off in range(0, n, max_bucket):
+            m = min(max_bucket, n - off)
+            self._queue.put(
+                _Chunk(
+                    conditions=(
+                        conditions[off : off + m]
+                        if conditions is not None
+                        else None
+                    ),
+                    x_T=x_T[off : off + m],
+                    n=m,
+                    enqueued_at=now,
+                    assembly=assembly,
+                    offset=off,
+                ),
+            )
+        return future
+
+    def generate(self, conditions=None, n=None, seed: int = 0) -> GenerationResult:
+        """Synchronous convenience wrapper around :meth:`submit`."""
+        return self.submit(conditions, n, seed).result()
+
+    def stats(self) -> dict:
+        """Service counters: requests/samples/launches, mean batch
+        occupancy, latency p50/p95 (seconds)."""
+        with self._stats_lock:
+            lat = sorted(self._stats["latencies_s"])
+            launches = self._stats["launches"]
+            return {
+                "requests": self._stats["requests"],
+                "samples": self._stats["samples"],
+                "launches": launches,
+                "mean_occupancy": (
+                    self._stats["occupancy_sum"] / launches if launches else 0.0
+                ),
+                "latency_p50_s": lat[len(lat) // 2] if lat else 0.0,
+                "latency_p95_s": lat[int(len(lat) * 0.95)] if lat else 0.0,
+                "buckets": list(self.buckets),
+                "compiled_buckets": sorted(self._compiled),
+            }
+
+    def close(self) -> None:
+        """Drain the queue and stop the worker."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)
+        self._worker.join(timeout=30)
+        # anything still queued after the worker exits can never run
+        while True:
+            try:
+                leftover = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if leftover is not None:
+                leftover.assembly.fail(RuntimeError("service closed"))
+
+    def __enter__(self) -> "SamplingService":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- internals -----------------------------------------------------
+    def _draw_x_T(self, seed: int, n: int) -> np.ndarray:
+        """Host-side initial latents, deterministic per (seed, row index) so
+        splitting/batching never changes a request's noise."""
+        rows = [
+            np.random.default_rng(
+                np.random.SeedSequence([int(seed) & 0xFFFFFFFF, i]),
+            ).standard_normal(self._sample_shape1, dtype=np.float32)
+            for i in range(n)
+        ]
+        return np.stack(rows)
+
+    def _get_compiled(self, bucket: int):
+        fn = self._compiled.get(bucket)
+        if fn is not None:
+            return fn
+        import jax
+
+        pipeline = self.pipeline
+        shape = pipeline.sample_shape(bucket)
+        if hasattr(pipeline, "coeffs"):  # GaussianDiffusion family
+            sampler, eta, num_steps = self.sampler, self.eta, self.num_steps
+
+            def raw(params, rng, conds, x_T):
+                return pipeline.reverse_process(
+                    params, rng, shape, conds,
+                    sampler=sampler, eta=eta, num_steps=num_steps,
+                    x_T=x_T, t_checkpoints=(),
+                )
+
+        else:  # DDPM pipeline: ancestral only, like the reference
+
+            def raw(params, rng, conds, x_T):
+                return pipeline.reverse_process(
+                    params, rng, shape, conds, x_T=x_T,
+                )["denoised"]
+
+        fn = jax.jit(raw)
+        self._compiled[bucket] = fn
+        return fn
+
+    def _pick_bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _launch(
+        self, chunks: list[_Chunk], record_stats: bool = True,
+        bucket: Optional[int] = None,
+    ) -> None:
+        import jax
+
+        total = sum(c.n for c in chunks)
+        bucket = bucket or self._pick_bucket(total)
+        pad = bucket - total
+        x_T = np.concatenate([c.x_T for c in chunks], axis=0)
+        if pad:
+            x_T = np.concatenate(
+                [x_T, np.zeros((pad, *x_T.shape[1:]), x_T.dtype)], axis=0,
+            )
+        conds = None
+        if self.cond_dim is not None:
+            conds = np.concatenate(
+                [c.conditions for c in chunks], axis=0,
+            ).astype(np.float32)
+            if pad:
+                conds = np.concatenate(
+                    [conds, np.zeros((pad, self.cond_dim), np.float32)], axis=0,
+                )
+        self._launch_counter += 1
+        rng = jax.random.fold_in(self._service_key, self._launch_counter)
+        fn = self._get_compiled(bucket)
+        try:
+            out = np.asarray(fn(self.params, rng, conds, x_T))
+        except Exception as exc:  # pragma: no cover - device failures
+            for c in chunks:
+                c.assembly.fail(exc)
+            return
+        occupancy = total / bucket
+        off = 0
+        now = time.perf_counter()
+        for c in chunks:
+            c.assembly.deliver(
+                c.offset, out[off : off + c.n], bucket, occupancy, c.enqueued_at,
+            )
+            off += c.n
+            if record_stats:
+                with self._stats_lock:
+                    self._stats["latencies_s"].append(now - c.enqueued_at)
+                    # bound the latency reservoir for long-lived services
+                    if len(self._stats["latencies_s"]) > 10_000:
+                        self._stats["latencies_s"] = self._stats["latencies_s"][-5_000:]
+        if record_stats:
+            with self._stats_lock:
+                self._stats["launches"] += 1
+                self._stats["occupancy_sum"] += occupancy
+
+    def _worker_loop(self) -> None:
+        max_bucket = self.buckets[-1]
+        while True:
+            chunk = self._queue.get()
+            if chunk is None:
+                return
+            batch = [chunk]
+            total = chunk.n
+            deadline = time.perf_counter() + self.max_delay_s
+            # coalesce until the biggest bucket is full or the window closes
+            while total < max_bucket:
+                budget = deadline - time.perf_counter()
+                try:
+                    nxt = self._queue.get(timeout=max(budget, 0.0))
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._launch(batch)
+                    return
+                if total + nxt.n > max_bucket:
+                    # launch what we have; the oversized remainder starts
+                    # the next batch
+                    self._launch(batch)
+                    batch, total = [nxt], nxt.n
+                    deadline = time.perf_counter() + self.max_delay_s
+                    continue
+                batch.append(nxt)
+                total += nxt.n
+            self._launch(batch)
+
+
+def make_http_handler(service: SamplingService):
+    """An http.server handler class bound to ``service``.
+
+    Endpoints:
+      GET  /healthz  -> {"ok": true}
+      GET  /stats    -> service.stats()
+      POST /generate -> body {"conditions": [[...]] | null, "n": int,
+                        "seed": int, "return": "list" | "stats"}
+                        reply {"shape": [...], "samples": nested list,
+                        "latency_s": float, "bucket": int}
+    ``return: "stats"`` omits the sample payload (for load tests)."""
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:  # noqa: N802 (http.server API)
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            elif self.path == "/stats":
+                self._reply(200, service.stats())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self) -> None:  # noqa: N802
+            if self.path != "/generate":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                conds = req.get("conditions")
+                result = service.generate(
+                    conditions=(
+                        np.asarray(conds, np.float32)
+                        if conds is not None
+                        else None
+                    ),
+                    n=req.get("n"),
+                    seed=int(req.get("seed", 0)),
+                )
+            except Exception as exc:
+                self._reply(400, {"error": str(exc)})
+                return
+            payload = {
+                "shape": list(result.samples.shape),
+                "latency_s": result.latency_s,
+                "bucket": result.bucket,
+            }
+            if req.get("return", "list") == "list":
+                payload["samples"] = result.samples.astype(float).tolist()
+            self._reply(200, payload)
+
+        def log_message(self, *args) -> None:  # quiet by default
+            pass
+
+    return Handler

@@ -1,0 +1,88 @@
+"""Serve a trained diffusion model over HTTP.
+
+TPU-native counterpart of re-running `/root/reference/scripts/inference.py`
+per request: the model is loaded and the per-bucket samplers compiled ONCE,
+then concurrent requests are micro-batched onto the chip
+(rho_diffusion_tpu/serving.py).
+
+Usage:
+    python scripts/serve.py CONFIG.json [-p CKPT] [--port 8000] \
+        [--sampler ddim] [--steps 50] [--buckets 1,2,4,8] [--warmup]
+
+Endpoints: GET /healthz, GET /stats, POST /generate
+    {"conditions": [[l, m], ...] | null, "n": 4, "seed": 7}
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("json_config", type=Path)
+    parser.add_argument("-p", dest="checkpoint", type=Path, default=None)
+    parser.add_argument("-d", "--device", default=None)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--sampler", default=None, choices=["ddpm", "ddim"])
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument(
+        "--buckets", default="1,2,4,8",
+        help="comma-separated compiled batch sizes (ascending)",
+    )
+    parser.add_argument(
+        "--cond-dim", type=int, default=None,
+        help="condition-row width; omit for an unconditional service",
+    )
+    parser.add_argument(
+        "--warmup", action="store_true",
+        help="compile every bucket before accepting requests",
+    )
+    args = parser.parse_args()
+
+    if args.device:
+        os.environ["JAX_PLATFORMS"] = args.device
+        if args.device == "cpu":
+            os.environ["PALLAS_AXON_POOL_IPS"] = ""
+
+    from http.server import ThreadingHTTPServer
+
+    from rho_diffusion_tpu.serving import SamplingService, make_http_handler
+
+    kwargs: dict = {"batch_buckets": tuple(int(b) for b in args.buckets.split(","))}
+    if args.sampler:
+        kwargs["sampler"] = args.sampler
+    if args.steps:
+        kwargs["num_steps"] = args.steps
+    if args.cond_dim is not None:
+        kwargs["cond_dim"] = args.cond_dim
+    kwargs["warmup"] = args.warmup
+
+    service = SamplingService.from_config(
+        args.json_config, checkpoint=args.checkpoint, **kwargs,
+    )
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_http_handler(service),
+    )
+    print(
+        f"serving on http://{args.host}:{server.server_address[1]} "
+        f"(buckets={kwargs['batch_buckets']}, "
+        f"sampler={service.sampler}, steps={service.num_steps})",
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()
