@@ -38,8 +38,7 @@ def _parse_losses(out: str) -> list[float]:
     raise AssertionError(f"no RESULT line in worker output:\n{out[-3000:]}")
 
 
-@pytest.mark.slow
-def test_two_process_training_matches_single_process():
+def _spawn_workers() -> tuple[list[subprocess.Popen], list[str]]:
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
@@ -63,6 +62,20 @@ def test_two_process_training_matches_single_process():
         for p in procs:
             p.kill()
         pytest.fail("2-process workers timed out (rendezvous or compile hang)")
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process():
+    procs, outs = _spawn_workers()
+    if any(p.returncode != 0 for p in procs) and any(
+        "BarrierError" in o or "DEADLINE_EXCEEDED" in o for o in outs
+    ):
+        # coordination-service barrier timeout: one worker got starved of
+        # the single CPU core past the runtime's heartbeat deadline (seen
+        # when unrelated jobs compile concurrently). Infrastructure flake,
+        # not a framework property — retry once on a fresh port.
+        procs, outs = _spawn_workers()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
