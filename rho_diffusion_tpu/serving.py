@@ -170,27 +170,18 @@ class SamplingService:
             "latencies_s": [],
         }
         self._closed = False
+        self._lifecycle_lock = threading.Lock()
         if warmup:
+            # compile AND execute each bucket synchronously so a broken
+            # sampler (shape error, OOM, missing conditioning) fails the
+            # constructor instead of every future request
             for b in self.buckets:
-                self._get_compiled(b)
-                self._launch(
-                    [
-                        _Chunk(
-                            conditions=(
-                                np.zeros((1, cond_dim), np.float32)
-                                if cond_dim
-                                else None
-                            ),
-                            x_T=self._draw_x_T(0, 1),
-                            n=1,
-                            enqueued_at=time.perf_counter(),
-                            assembly=_Assembly(1, Future()),
-                            offset=0,
-                        ),
-                    ],
-                    record_stats=False,
-                    bucket=b,
+                fn = self._get_compiled(b)
+                conds = (
+                    np.zeros((b, cond_dim), np.float32) if cond_dim else None
                 )
+                x_T = np.zeros((b, *self._sample_shape1), np.float32)
+                jax.block_until_ready(fn(self.params, self._service_key, conds, x_T))
         self._worker = threading.Thread(
             target=self._worker_loop, name="sampling-service", daemon=True,
         )
@@ -202,57 +193,36 @@ class SamplingService:
         cls,
         config_path: str | Path,
         checkpoint: str | Path | None = None,
+        log=print,
         **service_kwargs,
     ) -> "SamplingService":
-        """Build pipeline + weights exactly like ``scripts/inference.py``:
-        registry-resolved components from the JSON config, weights from a
-        ``.pth``/``.npz`` file or the orbax checkpoint dir (EMA preferred,
-        ``inference.use_ema``)."""
-        import jax
-
-        from rho_diffusion_tpu.config import (
-            ExperimentConfig,
-            apply_torch_checkpoint_schedule_fixup,
-        )
-        from rho_diffusion_tpu.registry import registry
-        from rho_diffusion_tpu.training.trainer import build_pipeline_from_config
+        """Build pipeline + weights exactly like ``scripts/inference.py``
+        (shared `build_inference_session` path): registry-resolved
+        components from the JSON config, weights from a ``.pth``/``.npz``
+        file or an orbax checkpoint dir (EMA preferred,
+        ``inference.use_ema``). ``cond_dim`` is derived from the model
+        config when not given: parameter-row width for a MultiEmbeddings
+        cond_fn, hash-embedding width (4·model_channels) otherwise."""
+        from rho_diffusion_tpu.config import ExperimentConfig
+        from rho_diffusion_tpu.training.trainer import build_inference_session
 
         config = ExperimentConfig.from_json(config_path)
-        ds_cls = registry.get("datasets", config.dataset.name)
-        try:
-            dataset = ds_cls(**config.dataset.kwargs)
-        except Exception:
-            dataset = None
         ckpt = checkpoint or config.inference.checkpoint
-        if apply_torch_checkpoint_schedule_fixup(config, ckpt):
-            pass  # cosine exact_reference table swapped in for torch ckpts
-        pipeline = build_pipeline_from_config(
-            config,
-            dataset=dataset,
-            pipeline_name=(
-                config.pipeline.name if config.pipeline
-                else "GaussianDiffusionPipeline"
-            ),
+        pipeline, dataset, params, messages = build_inference_session(
+            config, checkpoint=ckpt,
         )
-        state = pipeline.create_state(jax.random.PRNGKey(config.inference.seed))
-        params = state.params
-        ckpt_dir = Path(config.training.checkpoint_dir or "checkpoints")
-        if ckpt and os.path.isfile(ckpt):
-            from rho_diffusion_tpu.training.checkpoint import load_weights_auto
-
-            params = load_weights_auto(
-                params, ckpt, model_kwargs=dict(config.model.kwargs),
-            )
-        elif ckpt_dir.exists():
-            from rho_diffusion_tpu.training.checkpoint import CheckpointManager
-
-            cm = CheckpointManager(ckpt_dir)
-            if cm.latest_step() is not None:
-                restored = cm.restore(state)
-                use_ema = (
-                    config.inference.use_ema and restored.ema_params is not None
-                )
-                params = restored.ema_params if use_ema else restored.params
+        for m in messages:
+            log(m)
+        if "cond_dim" not in service_kwargs:
+            mk = dict(config.model.kwargs)
+            if mk.get("num_classes"):
+                space = getattr(dataset, "parameter_space", None)
+                if space is not None and isinstance(mk.get("cond_fn"), str):
+                    # raw parameter rows through MultiEmbeddings
+                    service_kwargs["cond_dim"] = len(space)
+                else:
+                    # sha512 hash-embedding rows (width == time-emb width)
+                    service_kwargs["cond_dim"] = 4 * mk.get("model_channels", 64)
         if "sampler" not in service_kwargs:
             service_kwargs["sampler"] = config.inference.sampler
         if "num_steps" not in service_kwargs:
@@ -272,8 +242,6 @@ class SamplingService:
         service); ``n`` defaults to ``len(conditions)`` (or 1). The request
         is deterministic in ``seed`` for eta=0 DDIM sampling.
         """
-        if self._closed:
-            raise RuntimeError("service is closed")
         if conditions is not None:
             conditions = np.asarray(conditions, np.float32)
             if conditions.ndim == 1:
@@ -306,25 +274,31 @@ class SamplingService:
         x_T = self._draw_x_T(seed, n)
         now = time.perf_counter()
         max_bucket = self.buckets[-1]
-        with self._stats_lock:
-            self._stats["requests"] += 1
-            self._stats["samples"] += n
-        for off in range(0, n, max_bucket):
-            m = min(max_bucket, n - off)
-            self._queue.put(
-                _Chunk(
-                    conditions=(
-                        conditions[off : off + m]
-                        if conditions is not None
-                        else None
+        # closed-check and enqueue under one lock so a concurrent close()
+        # (e.g. server shutdown racing an HTTP handler thread) cannot strand
+        # chunks in a queue nobody drains
+        with self._lifecycle_lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            with self._stats_lock:
+                self._stats["requests"] += 1
+                self._stats["samples"] += n
+            for off in range(0, n, max_bucket):
+                m = min(max_bucket, n - off)
+                self._queue.put(
+                    _Chunk(
+                        conditions=(
+                            conditions[off : off + m]
+                            if conditions is not None
+                            else None
+                        ),
+                        x_T=x_T[off : off + m],
+                        n=m,
+                        enqueued_at=now,
+                        assembly=assembly,
+                        offset=off,
                     ),
-                    x_T=x_T[off : off + m],
-                    n=m,
-                    enqueued_at=now,
-                    assembly=assembly,
-                    offset=off,
-                ),
-            )
+                )
         return future
 
     def generate(self, conditions=None, n=None, seed: int = 0) -> GenerationResult:
@@ -351,20 +325,18 @@ class SamplingService:
             }
 
     def close(self) -> None:
-        """Drain the queue and stop the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)
+        """Stop the worker; queued-but-unlaunched requests fail cleanly.
+
+        The worker itself drains the queue when it sees the sentinel (even
+        if it was mid-compile when close() was called and this join times
+        out), so pending futures always resolve — no chunk is ever stranded
+        behind a consumed sentinel."""
+        with self._lifecycle_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)
         self._worker.join(timeout=30)
-        # anything still queued after the worker exits can never run
-        while True:
-            try:
-                leftover = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if leftover is not None:
-                leftover.assembly.fail(RuntimeError("service closed"))
 
     def __enter__(self) -> "SamplingService":
         return self
@@ -419,35 +391,36 @@ class SamplingService:
                 return b
         return self.buckets[-1]
 
-    def _launch(
-        self, chunks: list[_Chunk], record_stats: bool = True,
-        bucket: Optional[int] = None,
-    ) -> None:
+    def _launch(self, chunks: list[_Chunk]) -> None:
         import jax
 
         total = sum(c.n for c in chunks)
-        bucket = bucket or self._pick_bucket(total)
-        pad = bucket - total
-        x_T = np.concatenate([c.x_T for c in chunks], axis=0)
-        if pad:
-            x_T = np.concatenate(
-                [x_T, np.zeros((pad, *x_T.shape[1:]), x_T.dtype)], axis=0,
-            )
-        conds = None
-        if self.cond_dim is not None:
-            conds = np.concatenate(
-                [c.conditions for c in chunks], axis=0,
-            ).astype(np.float32)
-            if pad:
-                conds = np.concatenate(
-                    [conds, np.zeros((pad, self.cond_dim), np.float32)], axis=0,
-                )
-        self._launch_counter += 1
-        rng = jax.random.fold_in(self._service_key, self._launch_counter)
-        fn = self._get_compiled(bucket)
+        bucket = self._pick_bucket(total)
         try:
+            pad = bucket - total
+            x_T = np.concatenate([c.x_T for c in chunks], axis=0)
+            if pad:
+                x_T = np.concatenate(
+                    [x_T, np.zeros((pad, *x_T.shape[1:]), x_T.dtype)], axis=0,
+                )
+            conds = None
+            if self.cond_dim is not None:
+                conds = np.concatenate(
+                    [c.conditions for c in chunks], axis=0,
+                ).astype(np.float32)
+                if pad:
+                    conds = np.concatenate(
+                        [conds, np.zeros((pad, self.cond_dim), np.float32)],
+                        axis=0,
+                    )
+            self._launch_counter += 1
+            rng = jax.random.fold_in(self._service_key, self._launch_counter)
+            fn = self._get_compiled(bucket)
             out = np.asarray(fn(self.params, rng, conds, x_T))
-        except Exception as exc:  # pragma: no cover - device failures
+        except Exception as exc:
+            # device failures AND batch-assembly bugs both resolve the
+            # futures; the worker thread itself must never die (that would
+            # strand every later request)
             for c in chunks:
                 c.assembly.fail(exc)
             return
@@ -459,16 +432,14 @@ class SamplingService:
                 c.offset, out[off : off + c.n], bucket, occupancy, c.enqueued_at,
             )
             off += c.n
-            if record_stats:
-                with self._stats_lock:
-                    self._stats["latencies_s"].append(now - c.enqueued_at)
-                    # bound the latency reservoir for long-lived services
-                    if len(self._stats["latencies_s"]) > 10_000:
-                        self._stats["latencies_s"] = self._stats["latencies_s"][-5_000:]
-        if record_stats:
             with self._stats_lock:
-                self._stats["launches"] += 1
-                self._stats["occupancy_sum"] += occupancy
+                self._stats["latencies_s"].append(now - c.enqueued_at)
+                # bound the latency reservoir for long-lived services
+                if len(self._stats["latencies_s"]) > 10_000:
+                    self._stats["latencies_s"] = self._stats["latencies_s"][-5_000:]
+        with self._stats_lock:
+            self._stats["launches"] += 1
+            self._stats["occupancy_sum"] += occupancy
 
     def _worker_loop(self) -> None:
         max_bucket = self.buckets[-1]
@@ -487,6 +458,8 @@ class SamplingService:
                 except queue.Empty:
                     break
                 if nxt is None:
+                    # sentinel: the queue is FIFO and submit-after-close
+                    # raises, so `batch` holds the only remaining work
                     self._launch(batch)
                     return
                 if total + nxt.n > max_bucket:
@@ -539,17 +512,21 @@ def make_http_handler(service: SamplingService):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 conds = req.get("conditions")
-                result = service.generate(
-                    conditions=(
-                        np.asarray(conds, np.float32)
-                        if conds is not None
-                        else None
-                    ),
-                    n=req.get("n"),
-                    seed=int(req.get("seed", 0)),
+                conds = (
+                    np.asarray(conds, np.float32) if conds is not None else None
                 )
-            except Exception as exc:
+                n = req.get("n")
+                seed = int(req.get("seed", 0))
+            except Exception as exc:  # malformed JSON/fields
                 self._reply(400, {"error": str(exc)})
+                return
+            try:
+                result = service.generate(conditions=conds, n=n, seed=seed)
+            except ValueError as exc:  # request validation (submit)
+                self._reply(400, {"error": str(exc)})
+                return
+            except Exception as exc:  # device/sampler fault: server-side
+                self._reply(500, {"error": str(exc)})
                 return
             payload = {
                 "shape": list(result.samples.shape),

@@ -164,3 +164,58 @@ def load_model_weights(params_template, path: str | Path):
             )
         leaves.append(saved.astype(v.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def resolve_inference_params(state, config, ckpt=None, work_dir: str | Path = "."):
+    """Pick the sampling weights the way ``scripts/inference.py`` does.
+
+    Resolution order: an explicit checkpoint FILE (``.pth``/``.npz``,
+    auto-transplanted) > an explicit orbax checkpoint DIRECTORY > the
+    config's ``training.checkpoint_dir`` (EMA weights preferred per
+    ``inference.use_ema``) > untrained params with a warning. Shared by the
+    inference CLI and ``serving.SamplingService.from_config`` so the two
+    cannot drift. Returns ``(params, messages)`` — callers decide where the
+    messages go (stdout, logger).
+    """
+    import os
+
+    params = state.params
+    messages: list[str] = []
+
+    def _from_orbax(directory: Path):
+        cm = CheckpointManager(directory)
+        if cm.latest_step() is None:
+            messages.append(
+                f"WARNING: no checkpoints in {directory}; sampling untrained model",
+            )
+            return None
+        restored = cm.restore(state)
+        use_ema = config.inference.use_ema and restored.ema_params is not None
+        messages.append(
+            f"loaded {'EMA ' if use_ema else ''}weights from orbax step "
+            f"{cm.latest_step()} in {directory}",
+        )
+        return restored.ema_params if use_ema else restored.params
+
+    ckpt_dir = Path(config.training.checkpoint_dir or (Path(work_dir) / "checkpoints"))
+    if ckpt and os.path.isfile(ckpt):
+        params = load_weights_auto(
+            params, ckpt, model_kwargs=dict(config.model.kwargs),
+        )
+        messages.append(f"loaded weights from {ckpt}")
+    elif ckpt and Path(ckpt).is_dir():
+        restored = _from_orbax(Path(ckpt))
+        params = params if restored is None else restored
+    elif ckpt:
+        messages.append(
+            f"WARNING: checkpoint '{ckpt}' not found; sampling untrained model",
+        )
+    elif ckpt_dir.exists():
+        restored = _from_orbax(ckpt_dir)
+        params = params if restored is None else restored
+    else:
+        messages.append(
+            "WARNING: no checkpoint given and no checkpoint_dir; sampling "
+            "untrained model",
+        )
+    return params, messages

@@ -125,6 +125,45 @@ def build_pipeline_from_config(
     )
 
 
+def build_inference_session(
+    config: ExperimentConfig,
+    checkpoint=None,
+    work_dir=".",
+    pipeline_name: Optional[str] = None,
+):
+    """Pipeline + dataset + sampling weights: the shared setup path of
+    ``scripts/inference.py`` and ``serving.SamplingService.from_config``
+    (mirrors reference inference.py:83-163). Returns
+    ``(pipeline, dataset, params, messages)``; callers decide where the
+    messages (checkpoint provenance, warnings) are printed/logged."""
+    import jax
+
+    from rho_diffusion_tpu.config import apply_torch_checkpoint_schedule_fixup
+    from rho_diffusion_tpu.training.checkpoint import resolve_inference_params
+
+    messages: list[str] = []
+    ds_cls = registry.get("datasets", config.dataset.name)
+    try:
+        dataset = ds_cls(**config.dataset.kwargs)
+    except Exception:
+        dataset = None  # e.g. HDF5 file not present at inference time
+    if apply_torch_checkpoint_schedule_fixup(config, checkpoint):
+        messages.append(
+            "torch checkpoint + cosine schedule: using exact_reference table",
+        )
+    pipeline = build_pipeline_from_config(
+        config,
+        dataset=dataset,
+        pipeline_name=pipeline_name or (
+            config.pipeline.name if config.pipeline
+            else "GaussianDiffusionPipeline"
+        ),
+    )
+    state = pipeline.create_state(jax.random.PRNGKey(config.inference.seed))
+    params, msgs = resolve_inference_params(state, config, checkpoint, work_dir)
+    return pipeline, dataset, params, messages + msgs
+
+
 class Trainer:
     """Config-driven training loop over a device mesh."""
 

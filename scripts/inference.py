@@ -52,8 +52,6 @@ def main() -> None:
     import numpy as np
 
     from rho_diffusion_tpu.config import ExperimentConfig
-    from rho_diffusion_tpu.registry import registry
-    from rho_diffusion_tpu.training.trainer import build_pipeline_from_config
     from rho_diffusion_tpu.utils import plot_tensor_images
 
     config = ExperimentConfig.from_json(args.json_config)
@@ -71,57 +69,18 @@ def main() -> None:
             plot_tensor_images(data, filename=config.inference.plot_output_file)
         return
 
-    # class-level parameter space, like the reference's
-    # registry.get("datasets", name).parameter_space (inference.py:109-111);
-    # ours come from a cheap instance (class attrs aren't populated pre-init)
-    ds_cls = registry.get("datasets", config.dataset.name)
-    try:
-        dataset = ds_cls(**config.dataset.kwargs)
-    except Exception:
-        dataset = None  # e.g. HDF5 file not present at inference time
-
-    from rho_diffusion_tpu.config import apply_torch_checkpoint_schedule_fixup
+    # pipeline + dataset (class-level parameter space, like the reference's
+    # registry.get("datasets", name).parameter_space, inference.py:109-111)
+    # + weights (.pth/.npz transplant, or orbax full-state with EMA
+    # preferred) — shared with serving.SamplingService.from_config
+    from rho_diffusion_tpu.training.trainer import build_inference_session
 
     ckpt = args.model_checkpoint_path or config.inference.checkpoint
-    if apply_torch_checkpoint_schedule_fixup(config, ckpt):
-        print("torch checkpoint + cosine schedule: using exact_reference table")
-
-    pipeline = build_pipeline_from_config(
-        config,
-        dataset=dataset,
-        pipeline_name=(config.pipeline.name if config.pipeline else
-                      "GaussianDiffusionPipeline"),
+    pipeline, dataset, params, messages = build_inference_session(
+        config, checkpoint=ckpt, work_dir=args.work_dir,
     )
-    rng = jax.random.PRNGKey(config.inference.seed)
-    state = pipeline.create_state(rng)
-    params = state.params
-    ckpt_dir = Path(config.training.checkpoint_dir or (args.work_dir / "checkpoints"))
-    if ckpt and os.path.isfile(ckpt):
-        from rho_diffusion_tpu.training.checkpoint import load_weights_auto
-
-        params = load_weights_auto(
-            params, ckpt, model_kwargs=dict(config.model.kwargs),
-        )
-        print(f"loaded weights from {ckpt}")
-    elif ckpt_dir.exists():
-        # full-state orbax checkpoint: prefer EMA weights for sampling
-        # (config.inference.use_ema; the reference could not do this — it
-        # saved backbone-only state_dicts)
-        from rho_diffusion_tpu.training.checkpoint import CheckpointManager
-
-        cm = CheckpointManager(ckpt_dir)
-        if cm.latest_step() is not None:
-            restored = cm.restore(state)
-            use_ema = config.inference.use_ema and restored.ema_params is not None
-            params = restored.ema_params if use_ema else restored.params
-            print(
-                f"loaded {'EMA ' if use_ema else ''}weights from orbax step "
-                f"{cm.latest_step()}",
-            )
-        else:
-            print(f"WARNING: no checkpoints in {ckpt_dir}; sampling untrained model")
-    elif ckpt:
-        print(f"WARNING: checkpoint '{ckpt}' not found; sampling untrained model")
+    for m in messages:
+        print(m)
 
     use_hash = bool(getattr(dataset, "use_emb_as_labels", False)) if dataset else False
     sampler = args.sampler or config.inference.sampler

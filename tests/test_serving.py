@@ -208,6 +208,72 @@ def test_http_surface(uncond_service):
         t.join(timeout=10)
 
 
+def test_warmup_fails_fast_on_broken_service():
+    """warmup=True must surface sampler errors at construction, not defer
+    them to the first request: a class-conditional model served without
+    cond_dim traces apply(y=None) and dies in the UNet's guard."""
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(num_classes=20),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        model_var_type="fixed_large",
+        optimizer="AdamW",
+    )
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(Exception):
+        SamplingService(
+            pipe, params, sampler="ddim", num_steps=2,
+            cond_dim=None, batch_buckets=(1,), warmup=True,
+        )
+
+
+def test_from_config_derives_cond_dim_and_warns(tmp_path):
+    """from_config must serve a class-conditional config out of the box
+    (deriving the condition-row width from the model kwargs) and report a
+    missing checkpoint instead of silently serving untrained weights."""
+    config = {
+        "experiment": "serve-cond",
+        "model": {
+            "name": "UNetv2",
+            "kwargs": dict(
+                dims=2, in_channels=1, out_channels=1, model_channels=8,
+                num_res_blocks=1, data_shape=[8, 8], channel_mult=[1, 2],
+                attention_resolutions=[], num_classes=20,
+            ),
+        },
+        "dataset": {"name": "SphericalHarmonicDataset", "kwargs": {"max_l": 2}},
+        "optimizer": {"name": "AdamW", "kwargs": {"lr": 1e-3}},
+        "noise_schedule": {
+            "name": "LinearSchedule",
+            "kwargs": {"num_steps": 20, "beta_1": 2e-4, "beta_T": 1e-2},
+        },
+        "pipeline": {"name": "DDPM", "kwargs": {}},
+        "training": {
+            "batch_size": 4, "max_epochs": 1, "loss_fn": "MSELoss",
+            "checkpoint_dir": str(tmp_path / "does_not_exist"),
+        },
+        "inference": {"num_samples": 2},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(config))
+    logged = []
+    service = SamplingService.from_config(
+        cfg_path, checkpoint=str(tmp_path / "missing.pth"),
+        log=logged.append, batch_buckets=(2,), max_delay_s=0.0,
+    )
+    try:
+        # hash-embedding width = 4 * model_channels (no cond_fn configured)
+        assert service.cond_dim == 32
+        assert any("WARNING" in m and "missing.pth" in m for m in logged), logged
+        conds = np.zeros((2, 32), np.float32)
+        res = service.generate(conditions=conds, seed=0)
+        assert res.samples.shape == (2, 8, 8, 1)
+        assert np.isfinite(res.samples).all()
+    finally:
+        service.close()
+
+
 @pytest.mark.slow
 def test_serve_cli_end_to_end(tmp_path):
     """scripts/serve.py: config -> HTTP service -> finite samples."""
@@ -249,7 +315,11 @@ def test_serve_cli_end_to_end(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
     )
     try:
-        line = proc.stdout.readline()  # blocks until the server binds
+        # checkpoint-provenance messages precede the bind line
+        for _ in range(20):
+            line = proc.stdout.readline()  # blocks until the server binds
+            if "serving on http://" in line:
+                break
         assert "serving on http://" in line, line
         port = int(line.split(":")[-1].split(" ")[0].split("/")[0])
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
