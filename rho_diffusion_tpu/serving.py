@@ -125,6 +125,13 @@ class SamplingService:
         launches immediately at the smallest fitting bucket).
     warmup:
         Compile every bucket at startup (otherwise first use pays compile).
+    mesh:
+        Optional ``jax.sharding.Mesh`` (e.g. ``parallel.mesh.make_mesh``):
+        every launch runs data-parallel — the bucket batch shards over the
+        mesh's "data" axis, params are replicated once, XLA partitions the
+        whole reverse diffusion. Every bucket must be divisible by the data
+        axis size. This is the pod-slice serving shape: one service per
+        host, N chips per launch.
     """
 
     def __init__(
@@ -139,6 +146,7 @@ class SamplingService:
         batch_buckets: Sequence[int] = (1, 2, 4, 8),
         max_delay_s: float = 0.002,
         warmup: bool = False,
+        mesh=None,
     ) -> None:
         import jax
 
@@ -146,6 +154,19 @@ class SamplingService:
             raise ValueError(
                 f"batch_buckets must be ascending and unique, got {batch_buckets!r}",
             )
+        self.mesh = mesh
+        if mesh is not None:
+            from rho_diffusion_tpu.parallel.mesh import DATA_AXIS, replicated
+
+            n_data = mesh.shape.get(DATA_AXIS, 1)
+            bad = [b for b in batch_buckets if b % n_data]
+            if bad:
+                raise ValueError(
+                    f"batch_buckets {bad} not divisible by the mesh data "
+                    f"axis ({n_data}) — each launch shards its batch evenly "
+                    f"over the data axis",
+                )
+            params = jax.device_put(params, replicated(mesh))
         self.pipeline = pipeline
         self.params = params
         self.sampler = sampler
@@ -381,7 +402,22 @@ class SamplingService:
                     params, rng, shape, conds, x_T=x_T,
                 )["denoised"]
 
-        fn = jax.jit(raw)
+        if self.mesh is not None:
+            # pod-slice data parallelism: the bucket batch shards over the
+            # mesh's data axis, params/rng replicate, and XLA partitions
+            # the whole lax.scan reverse process (same compile-time SPMD
+            # shape as the Trainer's train step)
+            from rho_diffusion_tpu.parallel.mesh import batch_sharding, replicated
+
+            bsh = batch_sharding(self.mesh)
+            rsh = replicated(self.mesh)
+            fn = jax.jit(
+                raw,
+                in_shardings=(rsh, rsh, bsh if self.cond_dim else None, bsh),
+                out_shardings=bsh,
+            )
+        else:
+            fn = jax.jit(raw)
         self._compiled[bucket] = fn
         return fn
 

@@ -43,6 +43,11 @@ def main() -> None:
         "--warmup", action="store_true",
         help="compile every bucket before accepting requests",
     )
+    parser.add_argument(
+        "--data-parallel", type=int, default=0, metavar="N",
+        help="shard every launch over an N-chip data-parallel mesh "
+             "(buckets must be divisible by N)",
+    )
     args = parser.parse_args()
 
     if args.device:
@@ -62,6 +67,10 @@ def main() -> None:
     if args.cond_dim is not None:
         kwargs["cond_dim"] = args.cond_dim
     kwargs["warmup"] = args.warmup
+    if args.data_parallel:
+        from rho_diffusion_tpu.parallel.mesh import make_mesh
+
+        kwargs["mesh"] = make_mesh(data=args.data_parallel)
 
     service = SamplingService.from_config(
         args.json_config, checkpoint=args.checkpoint, **kwargs,

@@ -208,6 +208,42 @@ def test_http_surface(uncond_service):
         t.join(timeout=10)
 
 
+def test_data_parallel_mesh_service_matches_single_device():
+    """A mesh-backed service shards each launch over the data axis and
+    returns the same samples as a single-device service (pod-slice serving
+    shape; conftest provides the 8 virtual devices)."""
+    from rho_diffusion_tpu.parallel.mesh import make_mesh
+
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        model_var_type="fixed_large",
+        optimizer="AdamW",
+    )
+    params = jax.tree.map(
+        lambda p: p + 0.01 * jax.random.normal(jax.random.PRNGKey(1), p.shape, p.dtype),
+        pipe.init_params(jax.random.PRNGKey(0)),
+    )
+    mesh = make_mesh(data=8)
+    with SamplingService(
+        pipe, params, sampler="ddim", num_steps=4,
+        batch_buckets=(8,), max_delay_s=0.0, mesh=mesh,
+    ) as sharded, SamplingService(
+        pipe, params, sampler="ddim", num_steps=4,
+        batch_buckets=(8,), max_delay_s=0.0,
+    ) as single:
+        a = sharded.generate(n=8, seed=5).samples
+        b = single.generate(n=8, seed=5).samples
+        assert a.shape == (8, 8, 8, 1)
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
+    # buckets that don't divide the data axis are rejected up front
+    with pytest.raises(ValueError, match="divisible"):
+        SamplingService(pipe, params, batch_buckets=(1, 2), mesh=mesh)
+
+
 def test_warmup_fails_fast_on_broken_service():
     """warmup=True must surface sampler errors at construction, not defer
     them to the first request: a class-conditional model served without
