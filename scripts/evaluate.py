@@ -58,14 +58,15 @@ def main() -> None:
     dataset = registry.get("datasets", config.dataset.name)(**config.dataset.kwargs)
     pipeline = build_pipeline_from_config(config, dataset=dataset)
     state = pipeline.create_state(jax.random.PRNGKey(config.inference.seed))
-    params = state.params
-    ckpt = args.model_checkpoint_path or config.inference.checkpoint
-    if ckpt and os.path.isfile(ckpt):
-        from rho_diffusion_tpu.training.checkpoint import load_weights_auto
+    # shared weight resolution (.pth/.npz transplant, orbax dir with EMA
+    # preferred, warnings on missing checkpoints) — same path as the
+    # inference CLI and the serving layer
+    from rho_diffusion_tpu.training.checkpoint import resolve_inference_params
 
-        params = load_weights_auto(
-            params, ckpt, model_kwargs=dict(config.model.kwargs),
-        )
+    ckpt = args.model_checkpoint_path or config.inference.checkpoint
+    params, messages = resolve_inference_params(state, config, ckpt)
+    for m in messages:
+        print(m)
     state = state.replace(params=params)
 
     loader = DataLoader(
