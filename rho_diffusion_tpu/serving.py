@@ -127,11 +127,13 @@ class SamplingService:
         Compile every bucket at startup (otherwise first use pays compile).
     mesh:
         Optional ``jax.sharding.Mesh`` (e.g. ``parallel.mesh.make_mesh``):
-        every launch runs data-parallel — the bucket batch shards over the
-        mesh's "data" axis, params are replicated once, XLA partitions the
-        whole reverse diffusion. Every bucket must be divisible by the data
-        axis size. This is the pod-slice serving shape: one service per
-        host, N chips per launch.
+        every launch runs SPMD — the bucket batch shards over the mesh's
+        "data" axis, params are replicated once, and a context axis > 1
+        additionally shards the volume depth (halo convs + ring attention,
+        like ``training.spatial_sharding``) so volumes past one chip's HBM
+        are servable. Every bucket must be divisible by the data axis
+        size. This is the pod-slice serving shape: one service per host,
+        N chips per launch.
     """
 
     def __init__(
@@ -403,18 +405,34 @@ class SamplingService:
                 )["denoised"]
 
         if self.mesh is not None:
-            # pod-slice data parallelism: the bucket batch shards over the
-            # mesh's data axis, params/rng replicate, and XLA partitions
-            # the whole lax.scan reverse process (same compile-time SPMD
-            # shape as the Trainer's train step)
-            from rho_diffusion_tpu.parallel.mesh import batch_sharding, replicated
+            # pod-slice SPMD: the bucket batch shards over the mesh's data
+            # axis (params/rng replicated) and, when the mesh has a
+            # context axis > 1, the volume depth additionally shards over
+            # it — the model's halo convs + ring attention activate via
+            # the active-mesh dispatch exactly as in the Trainer, so 64^3+
+            # volumes that exceed one chip's HBM are servable too
+            from rho_diffusion_tpu.parallel.mesh import (
+                CONTEXT_AXIS,
+                active_mesh,
+                batch_sharding,
+                replicated,
+            )
 
-            bsh = batch_sharding(self.mesh)
-            rsh = replicated(self.mesh)
+            mesh = self.mesh
+            spatial = mesh.shape.get(CONTEXT_AXIS, 1) > 1
+            inner = raw
+
+            def raw(params, rng, conds, x_T):  # noqa: F811 - mesh wrapper
+                with active_mesh(mesh):
+                    return inner(params, rng, conds, x_T)
+
+            x_sh = batch_sharding(mesh, spatial=spatial)
+            c_sh = batch_sharding(mesh)
+            rsh = replicated(mesh)
             fn = jax.jit(
                 raw,
-                in_shardings=(rsh, rsh, bsh if self.cond_dim else None, bsh),
-                out_shardings=bsh,
+                in_shardings=(rsh, rsh, c_sh if self.cond_dim else None, x_sh),
+                out_shardings=x_sh,
             )
         else:
             fn = jax.jit(raw)

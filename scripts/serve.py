@@ -48,6 +48,11 @@ def main() -> None:
         help="shard every launch over an N-chip data-parallel mesh "
              "(buckets must be divisible by N)",
     )
+    parser.add_argument(
+        "--context-parallel", type=int, default=1, metavar="M",
+        help="additionally shard the volume depth over M chips (halo convs "
+             "+ ring attention) — serve volumes past one chip's HBM",
+    )
     args = parser.parse_args()
 
     if args.device:
@@ -77,10 +82,12 @@ def main() -> None:
     if args.cond_dim is not None:
         kwargs["cond_dim"] = args.cond_dim
     kwargs["warmup"] = args.warmup
-    if args.data_parallel:
+    if args.data_parallel or args.context_parallel > 1:
         from rho_diffusion_tpu.parallel.mesh import make_mesh
 
-        kwargs["mesh"] = make_mesh(data=args.data_parallel)
+        kwargs["mesh"] = make_mesh(
+            data=args.data_parallel or -1, context=args.context_parallel,
+        )
 
     service = SamplingService.from_config(
         args.json_config, checkpoint=args.checkpoint, **kwargs,

@@ -244,6 +244,42 @@ def test_data_parallel_mesh_service_matches_single_device():
         SamplingService(pipe, params, batch_buckets=(1, 2), mesh=mesh)
 
 
+def test_context_parallel_mesh_service_matches_single_device():
+    """Long-context serving: a data=2 x context=2 mesh shards the volume
+    depth (GSPMD halo convs) and the attention tokens (ring attention via
+    the active-mesh dispatch); samples must match single-device."""
+    from rho_diffusion_tpu.parallel.mesh import make_mesh
+
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=dict(
+            data_shape=(8, 8, 8), dims=3, in_channels=1, out_channels=1,
+            model_channels=16, num_res_blocks=1, channel_mult=(1, 2),
+            attention_resolutions=[2], num_heads=2,
+        ),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        model_var_type="fixed_large",
+        optimizer="AdamW",
+    )
+    params = jax.tree.map(
+        lambda p: p + 0.01 * jax.random.normal(jax.random.PRNGKey(1), p.shape, p.dtype),
+        pipe.init_params(jax.random.PRNGKey(0)),
+    )
+    with SamplingService(
+        pipe, params, sampler="ddim", num_steps=3,
+        batch_buckets=(2,), max_delay_s=0.0,
+        mesh=make_mesh(data=2, context=2, devices=jax.devices()[:4]),
+    ) as cp, SamplingService(
+        pipe, params, sampler="ddim", num_steps=3,
+        batch_buckets=(2,), max_delay_s=0.0,
+    ) as single:
+        a = cp.generate(n=2, seed=9).samples
+        b = single.generate(n=2, seed=9).samples
+        assert a.shape == (2, 8, 8, 8, 1)
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+
 def test_warmup_fails_fast_on_broken_service():
     """warmup=True must surface sampler errors at construction, not defer
     them to the first request: a class-conditional model served without
