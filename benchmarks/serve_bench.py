@@ -36,9 +36,13 @@ def main() -> None:
     grid = 8 if smoke else int(os.environ.get("SERVE_GRID", 32))
     mc = 16 if smoke else 64
     steps = 4 if smoke else int(os.environ.get("SERVE_STEPS", 50))
-    buckets = (1, 2) if smoke else (1, 8)
-    n_lat = 3 if smoke else 8
-    n_load = 6 if smoke else 32
+    buckets = tuple(
+        int(b) for b in os.environ.get(
+            "SERVE_BUCKETS", "1,2" if smoke else "1,8",
+        ).split(",")
+    )
+    n_lat = 3 if smoke else int(os.environ.get("SERVE_NLAT", 8))
+    n_load = 6 if smoke else int(os.environ.get("SERVE_NLOAD", 32))
 
     pipe = GaussianDiffusionPipeline(
         backbone="UNetv2",
@@ -65,9 +69,13 @@ def main() -> None:
     cond_dim = 4 * mc
 
     t0 = time.perf_counter()
+    # NOTE 64^3: host-side x_T generation is ~3-6 ms per 262k-voxel row, so
+    # very short coalescing windows under-fill the big buckets — measured
+    # occupancy 0.67 at 10 ms vs ~1.0 at 100 ms on the 64^3 workload
+    delay = float(os.environ.get("SERVE_DELAY", 0.01))
     service = SamplingService(
         pipe, params, sampler="ddim", num_steps=steps, cond_dim=cond_dim,
-        batch_buckets=buckets, max_delay_s=0.01, warmup=True,
+        batch_buckets=buckets, max_delay_s=delay, warmup=True,
     )
     compile_s = time.perf_counter() - t0
 
