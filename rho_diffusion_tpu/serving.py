@@ -250,7 +250,9 @@ class SamplingService:
             service_kwargs["sampler"] = config.inference.sampler
         if "num_steps" not in service_kwargs:
             service_kwargs["num_steps"] = config.inference.ddim_steps or None
-        return cls(pipeline, params, **service_kwargs)
+        service = cls(pipeline, params, **service_kwargs)
+        service._config = config  # enables reload_from_checkpoint
+        return service
 
     # -- public API ----------------------------------------------------
     def submit(
@@ -327,6 +329,44 @@ class SamplingService:
     def generate(self, conditions=None, n=None, seed: int = 0) -> GenerationResult:
         """Synchronous convenience wrapper around :meth:`submit`."""
         return self.submit(conditions, n, seed).result()
+
+    def update_params(self, params) -> None:
+        """Swap the served weights in place — no recompile (params are a
+        jit ARGUMENT, not a closure). Serving a live training run: point
+        :meth:`reload_from_checkpoint` at its checkpoint dir every few
+        epochs and requests pick up the newest EMA weights."""
+        import jax
+
+        if self.mesh is not None:
+            from rho_diffusion_tpu.parallel.mesh import replicated
+
+            params = jax.device_put(params, replicated(self.mesh))
+        # atomic reference swap; in-flight launches finish on the old
+        # weights, the next launch reads the new ones
+        self.params = params
+
+    def reload_from_checkpoint(self, checkpoint=None) -> list[str]:
+        """Re-resolve weights (orbax dir / .pth / .npz) and serve them.
+
+        Only available on services built by :meth:`from_config` (the config
+        is needed to rebuild the state template). Returns the resolution
+        messages (checkpoint provenance or warnings)."""
+        import jax
+
+        config = getattr(self, "_config", None)
+        if config is None:
+            raise RuntimeError(
+                "reload_from_checkpoint needs a from_config-built service; "
+                "call update_params(params) directly instead",
+            )
+        from rho_diffusion_tpu.training.checkpoint import resolve_inference_params
+
+        state = self.pipeline.create_state(jax.random.PRNGKey(config.inference.seed))
+        params, messages = resolve_inference_params(
+            state, config, checkpoint or config.inference.checkpoint,
+        )
+        self.update_params(params)
+        return messages
 
     def stats(self) -> dict:
         """Service counters: requests/samples/launches, mean batch
@@ -538,6 +578,8 @@ def make_http_handler(service: SamplingService):
                         "seed": int, "return": "list" | "stats"}
                         reply {"shape": [...], "samples": nested list,
                         "latency_s": float, "bucket": int}
+      POST /reload   -> body {"checkpoint": path | null} — re-resolve and
+                        hot-swap the served weights (no recompile)
     ``return: "stats"`` omits the sample payload (for load tests)."""
     from http.server import BaseHTTPRequestHandler
 
@@ -559,6 +601,23 @@ def make_http_handler(service: SamplingService):
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self) -> None:  # noqa: N802
+            if self.path == "/reload":
+                # pick up newer weights (e.g. a live training run's latest
+                # EMA checkpoint) without restarting or recompiling
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    messages = service.reload_from_checkpoint(
+                        req.get("checkpoint"),
+                    )
+                except RuntimeError as exc:
+                    self._reply(400, {"error": str(exc)})
+                    return
+                except Exception as exc:
+                    self._reply(500, {"error": str(exc)})
+                    return
+                self._reply(200, {"ok": True, "messages": messages})
+                return
             if self.path != "/generate":
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return

@@ -202,6 +202,13 @@ def test_http_surface(uncond_service):
         resp = conn.getresponse()
         assert resp.status == 400
         assert "error" in json.loads(resp.read())
+
+        # /reload on a service without a config is a clean client error
+        conn.request("POST", "/reload", body="{}",
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "from_config" in json.loads(resp.read())["error"]
         conn.close()
     finally:
         server.shutdown()
@@ -344,6 +351,75 @@ def test_from_config_derives_cond_dim_and_warns(tmp_path):
         assert np.isfinite(res.samples).all()
     finally:
         service.close()
+
+
+def test_hot_reload_swaps_weights(tmp_path):
+    """update_params/reload_from_checkpoint: a from_config service picks up
+    newer weights (a live training run's checkpoint) without recompiling —
+    same request, different samples after the reload."""
+    from rho_diffusion_tpu.training.checkpoint import save_model_weights
+
+    config = {
+        "experiment": "serve-reload",
+        "model": {
+            "name": "UNetv2",
+            "kwargs": dict(
+                dims=2, in_channels=1, out_channels=1, model_channels=8,
+                num_res_blocks=1, data_shape=[8, 8], channel_mult=[1, 2],
+                attention_resolutions=[],
+            ),
+        },
+        "dataset": {"name": "SphericalHarmonicDataset", "kwargs": {"max_l": 2}},
+        "optimizer": {"name": "AdamW", "kwargs": {"lr": 1e-3}},
+        "noise_schedule": {
+            "name": "LinearSchedule",
+            "kwargs": {"num_steps": 20, "beta_1": 2e-4, "beta_T": 1e-2},
+        },
+        "pipeline": {"name": "DDPM", "kwargs": {}},
+        "training": {
+            "batch_size": 4, "max_epochs": 1, "loss_fn": "MSELoss",
+            "checkpoint_dir": str(tmp_path / "none"),
+        },
+        "inference": {"num_samples": 2},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(config))
+    service = SamplingService.from_config(
+        cfg_path, log=lambda m: None, batch_buckets=(1,), max_delay_s=0.0,
+    )
+    try:
+        before = service.generate(n=1, seed=0).samples
+        launches_before = service.stats()["launches"]
+
+        # "training" produced new weights: perturb and save as .npz
+        new_params = jax.tree.map(
+            lambda p: p + 0.1 * jax.random.normal(
+                jax.random.PRNGKey(2), p.shape, p.dtype,
+            ),
+            service.params,
+        )
+        ckpt = tmp_path / "model.npz"
+        save_model_weights(new_params, ckpt)
+        messages = service.reload_from_checkpoint(str(ckpt))
+        assert any("loaded weights" in m for m in messages), messages
+
+        after = service.generate(n=1, seed=0).samples  # same seed/x_T
+        assert np.abs(before - after).max() > 0
+        # no new compile happened: still the one bucket-1 program
+        assert sorted(service._compiled) == [1]
+        assert service.stats()["launches"] == launches_before + 1
+    finally:
+        service.close()
+
+    # a service not built by from_config refuses checkpoint reloads but
+    # accepts direct param swaps
+    pipe = service.pipeline
+    with SamplingService(
+        pipe, service.params, batch_buckets=(1,), max_delay_s=0.0,
+    ) as direct:
+        with pytest.raises(RuntimeError, match="from_config"):
+            direct.reload_from_checkpoint(str(tmp_path / "model.npz"))
+        direct.update_params(new_params)
 
 
 @pytest.mark.slow
