@@ -142,11 +142,30 @@ class DDPM(AbstractDiffusionPipeline):
         x_T: Optional[jnp.ndarray] = None,
     ) -> dict:
         """Full ancestral sampling as one on-device ``lax.scan``
-        (reference ddpm.py:132-229). Returns {'denoised', 'buffer'}."""
+        (reference ddpm.py:132-229). Returns {'denoised', 'buffer'}.
+
+        ``rng`` may be a batched [B] typed key array (see sampling_rng):
+        each row's step noise is then ``fold_in(row_key, t)``, independent
+        of batch composition — the serving determinism contract."""
+        from rho_diffusion_tpu.diffusion.sampling_rng import (
+            is_per_sample_keys,
+            keys_at_step,
+            normal_like,
+        )
+
         T = len(self.schedule)
         batch_size = shape[0]
-        noise_rng, scan_rng = jax.random.split(rng)
-        x = jax.random.normal(noise_rng, shape) if x_T is None else x_T
+        per_row = is_per_sample_keys(rng)
+        if per_row:
+            scan_rng = rng
+            x = (
+                normal_like(keys_at_step(rng, T), shape)
+                if x_T is None
+                else x_T
+            )
+        else:
+            noise_rng, scan_rng = jax.random.split(rng)
+            x = jax.random.normal(noise_rng, shape) if x_T is None else x_T
 
         num_ckpt = len(t_checkpoints) if t_checkpoints is not None else 0
         steps_per_ckpt = max(T // 10, 1)
@@ -163,8 +182,11 @@ class DDPM(AbstractDiffusionPipeline):
 
         def body(carry, t):
             x, key, ckpt_idx, buff = carry
-            key, z_key = jax.random.split(key)
-            z = jax.random.normal(z_key, x.shape, x.dtype)
+            if per_row:
+                z_key = keys_at_step(key, t)
+            else:
+                key, z_key = jax.random.split(key)
+            z = normal_like(z_key, x.shape, x.dtype)
             z = jnp.where(t > 1, z, jnp.zeros_like(z))
             tt = jnp.full((batch_size,), t, jnp.int32)
             eps_hat = apply(params, x, tt, conditions)

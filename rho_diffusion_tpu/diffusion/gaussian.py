@@ -41,6 +41,11 @@ import numpy as np
 from flax import struct
 
 from rho_diffusion_tpu.diffusion.base import AbstractDiffusionPipeline, extract, normalize_batch
+from rho_diffusion_tpu.diffusion.sampling_rng import (
+    is_per_sample_keys,
+    keys_at_step,
+    normal_like,
+)
 from rho_diffusion_tpu.diffusion.schedule import NoiseSchedule, named_beta_schedule
 from rho_diffusion_tpu.metrics.losses import (
     discretized_gaussian_log_likelihood,
@@ -345,7 +350,7 @@ def p_sample_step(
     )
     if cond_grad_fn is not None:
         out["mean"] = condition_mean(c, cond_grad_fn, out, x, t)
-    noise = jax.random.normal(rng, x.shape, x.dtype)
+    noise = normal_like(rng, x.shape, x.dtype)
     nonzero = (t != 0).astype(x.dtype).reshape(-1, *((1,) * (x.ndim - 1)))
     sample = out["mean"] + nonzero * jnp.exp(0.5 * out["log_variance"]) * noise
     return sample, out["pred_xstart"]
@@ -369,7 +374,7 @@ def ddim_sample_step(
         * jnp.sqrt((1.0 - alpha_bar_prev) / (1.0 - alpha_bar))
         * jnp.sqrt(1.0 - alpha_bar / alpha_bar_prev)
     )
-    noise = jax.random.normal(rng, x.shape, x.dtype)
+    noise = normal_like(rng, x.shape, x.dtype)
     mean_pred = (
         out["pred_xstart"] * jnp.sqrt(alpha_bar_prev)
         + jnp.sqrt(jnp.maximum(1.0 - alpha_bar_prev - sigma**2, 0.0)) * eps
@@ -441,9 +446,24 @@ def sample_loop(
     strided [K, *shape] frame buffer like the reference's reverse_process
     intermediate buffer (gaussian_diffusion.py:1041-1048, 1091-1097) without
     materialising all T frames. Checkpoints compare against
-    ``timestep_map[t]`` so they hit under respacing too."""
-    init_rng, scan_rng = jax.random.split(rng)
-    x = jax.random.normal(init_rng, shape) if x_T is None else x_T
+    ``timestep_map[t]`` so they hit under respacing too.
+
+    ``rng`` may be a batched [B] typed key array (see sampling_rng): the
+    step-t noise then comes from ``fold_in(row_key, t)`` per row, making
+    every sample's trajectory independent of its co-batched neighbours —
+    the contract the serving micro-batcher relies on."""
+    per_row = is_per_sample_keys(rng)
+    if per_row:
+        scan_rng = rng
+        # tag T (never a body step, which use 0..T-1) marks the x_T draw
+        x = (
+            normal_like(keys_at_step(rng, c.num_timesteps), shape)
+            if x_T is None
+            else x_T
+        )
+    else:
+        init_rng, scan_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, shape) if x_T is None else x_T
     step = p_sample_step if sampler == "ddpm" else ddim_sample_step
     kw = {"eta": eta} if sampler == "ddim" else {}
 
@@ -470,7 +490,10 @@ def sample_loop(
 
     def body(carry, t):
         x, key, buf = carry
-        key, sub = jax.random.split(key)
+        if per_row:
+            sub = keys_at_step(key, t)
+        else:
+            key, sub = jax.random.split(key)
         tt = jnp.full((shape[0],), t, jnp.int32)
         x, pred_x0 = step(
             c, model_fn, x, tt, sub, mean_type, var_type,

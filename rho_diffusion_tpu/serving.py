@@ -14,11 +14,14 @@ dictated by XLA's compilation model:
 * **Micro-batching** — a worker thread coalesces concurrent requests into
   one device program launch; under jit the per-launch overhead dominates
   small-batch sampling, so occupancy = throughput.
-* **Request-deterministic noise** — the initial latent x_T for each request
-  is derived host-side from the request's own seed, so a DDIM (eta=0)
-  request returns bit-identical samples regardless of which other requests
-  it was batched with. (Ancestral samplers also draw per-step noise from a
-  shared scan key; those are only deterministic for the batch as a whole.)
+* **Request-deterministic noise** — both the initial latent x_T and the
+  sampler's per-step noise stream are derived from (request seed, row
+  index): x_T host-side, step noise via per-row PRNG keys
+  (``diffusion.sampling_rng``, ``fold_in(row_key, t)``). Every sampler —
+  DDIM at any eta AND ancestral DDPM — returns bit-identical samples for a
+  given (conditions, seed) regardless of which other requests it was
+  batched with, how a large request was split, or which service instance
+  ran it.
 
 Typical use::
 
@@ -31,7 +34,6 @@ or over HTTP via ``scripts/serve.py``.
 from __future__ import annotations
 
 import json
-import os
 import queue
 import threading
 import time
@@ -59,6 +61,7 @@ class _Chunk:
 
     conditions: Optional[np.ndarray]  # [n, cond_dim] or None
     x_T: np.ndarray  # [n, *sample_shape[1:]]
+    keys: object  # [n] typed PRNG keys (per-row sampler noise streams)
     n: int
     enqueued_at: float
     assembly: "_Assembly"
@@ -180,10 +183,6 @@ class SamplingService:
         self._sample_shape1 = tuple(pipeline.sample_shape(1)[1:])
         self._compiled: dict[int, object] = {}
         self._queue: queue.Queue[Optional[_Chunk]] = queue.Queue()
-        self._service_key = jax.random.PRNGKey(
-            int.from_bytes(os.urandom(4), "little"),
-        )
-        self._launch_counter = 0
         self._stats_lock = threading.Lock()
         self._stats = {
             "requests": 0,
@@ -198,13 +197,16 @@ class SamplingService:
             # compile AND execute each bucket synchronously so a broken
             # sampler (shape error, OOM, missing conditioning) fails the
             # constructor instead of every future request
+            from rho_diffusion_tpu.diffusion.sampling_rng import per_sample_keys
+
             for b in self.buckets:
                 fn = self._get_compiled(b)
                 conds = (
                     np.zeros((b, cond_dim), np.float32) if cond_dim else None
                 )
                 x_T = np.zeros((b, *self._sample_shape1), np.float32)
-                jax.block_until_ready(fn(self.params, self._service_key, conds, x_T))
+                keys = per_sample_keys(0, b)
+                jax.block_until_ready(fn(self.params, keys, conds, x_T))
         self._worker = threading.Thread(
             target=self._worker_loop, name="sampling-service", daemon=True,
         )
@@ -265,7 +267,8 @@ class SamplingService:
 
         ``conditions`` is [n, cond_dim] (or None for an unconditional
         service); ``n`` defaults to ``len(conditions)`` (or 1). The request
-        is deterministic in ``seed`` for eta=0 DDIM sampling.
+        is deterministic in ``seed`` for every sampler (per-row noise
+        streams — batching, splitting and padding never change a result).
         """
         if conditions is not None:
             conditions = np.asarray(conditions, np.float32)
@@ -294,9 +297,15 @@ class SamplingService:
             n = 1 if n is None else n
         if n < 1:
             raise ValueError(f"n must be >= 1, got {n}")
+        from rho_diffusion_tpu.diffusion.sampling_rng import per_sample_keys
+
         future: Future = Future()
         assembly = _Assembly(n, future)
         x_T = self._draw_x_T(seed, n)
+        # one noise stream per row, derived from (seed, row index) exactly
+        # like x_T — the sampler's ancestral/eta>0 noise is then also
+        # independent of micro-batch composition and service instance
+        keys = per_sample_keys(seed, n)
         now = time.perf_counter()
         max_bucket = self.buckets[-1]
         # closed-check and enqueue under one lock so a concurrent close()
@@ -318,6 +327,7 @@ class SamplingService:
                             else None
                         ),
                         x_T=x_T[off : off + m],
+                        keys=keys[off : off + m],
                         n=m,
                         enqueued_at=now,
                         assembly=assembly,
@@ -469,9 +479,11 @@ class SamplingService:
             x_sh = batch_sharding(mesh, spatial=spatial)
             c_sh = batch_sharding(mesh)
             rsh = replicated(mesh)
+            # rng is the [bucket] per-row key array — it rides the data
+            # axis with its rows
             fn = jax.jit(
                 raw,
-                in_shardings=(rsh, rsh, c_sh if self.cond_dim else None, x_sh),
+                in_shardings=(rsh, c_sh, c_sh if self.cond_dim else None, x_sh),
                 out_shardings=x_sh,
             )
         else:
@@ -488,6 +500,8 @@ class SamplingService:
     def _launch(self, chunks: list[_Chunk]) -> None:
         import jax
 
+        from rho_diffusion_tpu.diffusion.sampling_rng import per_sample_keys
+
         total = sum(c.n for c in chunks)
         bucket = self._pick_bucket(total)
         try:
@@ -497,6 +511,12 @@ class SamplingService:
                 x_T = np.concatenate(
                     [x_T, np.zeros((pad, *x_T.shape[1:]), x_T.dtype)], axis=0,
                 )
+            import jax.numpy as jnp
+
+            keys = [c.keys for c in chunks]
+            if pad:
+                keys.append(per_sample_keys(0, pad))  # rows discarded below
+            rng = jnp.concatenate(keys) if len(keys) > 1 else keys[0]
             conds = None
             if self.cond_dim is not None:
                 conds = np.concatenate(
@@ -507,8 +527,6 @@ class SamplingService:
                         [conds, np.zeros((pad, self.cond_dim), np.float32)],
                         axis=0,
                     )
-            self._launch_counter += 1
-            rng = jax.random.fold_in(self._service_key, self._launch_counter)
             fn = self._get_compiled(bucket)
             out = np.asarray(fn(self.params, rng, conds, x_T))
         except Exception as exc:

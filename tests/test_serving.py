@@ -162,6 +162,63 @@ def test_ddpm_pipeline_service():
         assert np.isfinite(res.samples).all()
 
 
+def test_stochastic_samplers_request_deterministic():
+    """Ancestral DDPM (and eta>0 DDIM) step noise comes from per-row keys
+    (diffusion/sampling_rng.py): a request's samples are bit-identical
+    whether it ran alone, coalesced with strangers, split across launches,
+    or on a different service instance. The reference's batch-wide torch
+    noise (ddpm.py:211-215) has no such property."""
+    pipe = DDPM(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        optimizer="AdamW",
+    )
+    params = pipe.create_state(jax.random.PRNGKey(0)).params
+
+    with SamplingService(
+        pipe, params, batch_buckets=(1, 4), max_delay_s=0.05,
+    ) as service:
+        alone = service.generate(n=1, seed=42).samples
+        futs = [
+            service.submit(n=1, seed=42),
+            service.submit(n=1, seed=7),
+            service.submit(n=1, seed=8),
+        ]
+        batched = futs[0].result(timeout=120).samples
+        np.testing.assert_array_equal(alone, batched)
+        assert np.abs(alone - futs[1].result(timeout=120).samples).max() > 0
+        # splitting: rows 0..3 + 4..5 of an oversized request equal the
+        # same rows sampled as one request on a fresh instance
+        big = service.generate(n=6, seed=5).samples
+    with SamplingService(
+        pipe, params, batch_buckets=(1, 4), max_delay_s=0.0,
+    ) as service2:
+        again = service2.generate(n=6, seed=5).samples
+        np.testing.assert_array_equal(big, again)
+        # eta>0 DDIM on the Gaussian family rides the same per-row keys
+    gpipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        model_var_type="fixed_large",
+        optimizer="AdamW",
+    )
+    gparams = gpipe.init_params(jax.random.PRNGKey(0))
+    with SamplingService(
+        gpipe, gparams, sampler="ddim", num_steps=4, eta=0.7,
+        batch_buckets=(1, 2), max_delay_s=0.0,
+    ) as ga, SamplingService(
+        gpipe, gparams, sampler="ddim", num_steps=4, eta=0.7,
+        batch_buckets=(1, 2), max_delay_s=0.0,
+    ) as gb:
+        np.testing.assert_array_equal(
+            ga.generate(n=2, seed=11).samples,
+            gb.generate(n=2, seed=11).samples,
+        )
+
+
 def test_http_surface(uncond_service):
     from http.server import ThreadingHTTPServer
 
