@@ -116,7 +116,7 @@ class InferenceConfig(BaseModel):
     seed: int = 0
     # TPU-native additions:
     num_samples: int = 16
-    sampler: str = "ddpm"  # "ddpm" | "ddim"
+    sampler: str = "ddpm"  # "ddpm" | "ddim" | "dpm++"
     ddim_steps: int = 0  # 0 -> full T
     use_ema: bool = True
 

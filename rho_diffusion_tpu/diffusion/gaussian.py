@@ -120,11 +120,14 @@ def coefficients_from_betas(
     acp_prev = np.append(1.0, acp[:-1])
     acp_next = np.append(acp[1:], 0.0)
     posterior_variance = betas * (1.0 - acp_prev) / (1.0 - acp)
-    # log-variance clipped at t=0 because posterior variance is 0 there
+    # log-variance clipped at t=0 because posterior variance is 0 there;
+    # a one-step table (respace to 1, e.g. single-eval dpm++) has no t=1
+    # entry to borrow, so fall back to beta_0
+    pv1 = posterior_variance[1] if T > 1 else betas[0]
     posterior_log_variance_clipped = np.log(
-        np.append(posterior_variance[1], posterior_variance[1:]),
+        np.append(pv1, posterior_variance[1:]),
     )
-    fixed_large = np.append(posterior_variance[1], betas[1:])
+    fixed_large = np.append(pv1, betas[1:])
     if timestep_map is None:
         timestep_map = np.arange(T)
     f32 = lambda a: jnp.asarray(np.asarray(a).astype(np.float32))
@@ -162,12 +165,42 @@ def space_timesteps(num_timesteps: int, num_respaced: int) -> np.ndarray:
     return np.round(np.arange(num_respaced) * frac).astype(np.int64)
 
 
-def respace(coeffs: GaussianCoefficients, num_respaced: int) -> GaussianCoefficients:
+def space_timesteps_lambda(
+    coeffs: GaussianCoefficients, num_respaced: int,
+) -> np.ndarray:
+    """Sub-sequence of original timesteps whose log-SNRs are as close to
+    uniformly spaced as the discrete grid allows — the step spacing
+    DPM-Solver++ is derived for (arXiv:2211.01095 §4). Uniform-t striding
+    of a linear-beta schedule makes the final lambda interval several
+    times larger than the rest, which wrecks the 2M extrapolation."""
+    if num_respaced >= coeffs.num_timesteps:
+        return np.arange(coeffs.num_timesteps)
+    abar = np.asarray(coeffs.alphas_cumprod, np.float64)
+    lam = 0.5 * np.log(abar / (1.0 - abar))  # decreasing in t
+    targets = np.linspace(lam[-1], lam[0], num_respaced)
+    idx = np.abs(lam[None, :] - targets[:, None]).argmin(axis=1)
+    return np.unique(idx)
+
+
+def respace(
+    coeffs: GaussianCoefficients,
+    num_respaced: int,
+    spacing: str = "uniform-t",
+) -> GaussianCoefficients:
     """Build new coefficients over a strided timestep subset: new
     beta_i = 1 - abar(t_i)/abar(t_{i-1}). The returned ``timestep_map``
-    converts respaced indices back to original model timesteps."""
+    converts respaced indices back to original model timesteps.
+    ``spacing``: 'uniform-t' (guided-diffusion striding, the DDPM/DDIM
+    default) or 'uniform-lambda' (uniform log-SNR, for DPM-Solver++)."""
     acp = np.asarray(coeffs.alphas_cumprod, dtype=np.float64)
-    use = space_timesteps(coeffs.num_timesteps, num_respaced)
+    if spacing == "uniform-lambda":
+        use = space_timesteps_lambda(coeffs, num_respaced)
+    elif spacing == "uniform-t":
+        use = space_timesteps(coeffs.num_timesteps, num_respaced)
+    else:
+        raise ValueError(
+            f"unknown spacing {spacing!r}; expected 'uniform-t' or 'uniform-lambda'",
+        )
     last_acp = 1.0
     new_betas = []
     for t in use:
@@ -451,7 +484,18 @@ def sample_loop(
     ``rng`` may be a batched [B] typed key array (see sampling_rng): the
     step-t noise then comes from ``fold_in(row_key, t)`` per row, making
     every sample's trajectory independent of its co-batched neighbours —
-    the contract the serving micro-batcher relies on."""
+    the contract the serving micro-batcher relies on.
+
+    ``sampler``: 'ddpm' (ancestral), 'ddim' (Song et al., eq. 12; eta>0
+    adds noise), or 'dpm++' (DPM-Solver++(2M), Lu et al. arXiv:2211.01095
+    — 2nd-order multistep ODE solver in data-prediction form; its
+    first-order step is exactly DDIM eta=0, so it composes with the same
+    clipping/thresholding/guidance machinery and reaches DDIM-50 quality
+    in ~10-20 model evaluations; deterministic, eta ignored)."""
+    if sampler not in ("ddpm", "ddim", "dpm++", "dpmpp"):
+        raise ValueError(
+            f"unknown sampler {sampler!r}; expected 'ddpm', 'ddim' or 'dpm++'",
+        )
     per_row = is_per_sample_keys(rng)
     if per_row:
         scan_rng = rng
@@ -480,13 +524,82 @@ def sample_loop(
     if t_checkpoints is not None:
         # snap each checkpoint to the nearest timestep the (possibly
         # respaced) trajectory actually visits — a misaligned value would
-        # otherwise never match and silently return a zero frame
-        tmap = np.asarray(c.timestep_map)
-        snapped = np.asarray([
-            tmap[np.abs(tmap - int(t)).argmin()] for t in np.asarray(t_checkpoints)
-        ])
-        t_ckpt = jnp.asarray(snapped, jnp.int32)
+        # otherwise never match and silently return a zero frame. jnp ops
+        # so timestep_map may be a tracer (reverse_process under outer jit)
+        tc = jnp.asarray(np.asarray(t_checkpoints), jnp.int32)
+        t_ckpt = c.timestep_map[
+            jnp.abs(c.timestep_map[None, :] - tc[:, None]).argmin(axis=1)
+        ].astype(jnp.int32)
         buf = jnp.zeros((t_ckpt.shape[0], *shape), x.dtype)
+
+    if sampler in ("dpm++", "dpmpp"):
+        # DPM-Solver++(2M), data-prediction multistep (arXiv:2211.01095
+        # Algorithm 2). All per-step scalars are precomputed over the
+        # (possibly respaced) index grid and fed to the scan as xs, so the
+        # body is pure MXU/VPU work:
+        #   x_{i-1} = (sigma_prev/sigma) x_i + alpha_prev (1 - e^{-h_i}) D_i
+        #   D_i = x0_i + (h_i / 2 h_{i+1}) (x0_i - x0_{i+1})   [2nd order]
+        # with h_i = lambda_prev - lambda_i in log-SNR space. The final
+        # step (i=0) targets alpha=1, sigma=0 (h=inf): e^{-h}=0 exactly and
+        # the order drops to 1 ("lower_order_final"), returning the x0
+        # prediction — the same convention as the DDIM loop's last step.
+        # jnp (not numpy) so the tables trace under an outer jit; XLA
+        # constant-folds them when the coefficients are concrete.
+        abar = c.alphas_cumprod.astype(jnp.float32)
+        abar_prev = c.alphas_cumprod_prev.astype(jnp.float32)
+        al, sg = jnp.sqrt(abar), jnp.sqrt(1.0 - abar)
+        al_p, sg_p = jnp.sqrt(abar_prev), jnp.sqrt(1.0 - abar_prev)
+        lam = jnp.log(al / sg)
+        exp_mh = (al * sg_p) / (sg * al_p)  # e^{-h_i}; exact 0.0 at i=0
+        # h[0] = +inf (sg_p[0] = 0); it is masked off below, never used
+        h = jnp.log(al_p / jnp.maximum(sg_p, 1e-30)) - lam
+        M = c.num_timesteps
+        idx = np.arange(M - 1, -1, -1)  # scan visits i = M-1 .. 0
+        # 2M correction coefficient 1/(2 r_i) = h_i / (2 h_prev), where the
+        # previous solver step ran i+1 -> i so h_prev = h[i+1] (linear
+        # extrapolation of x0(lambda) to the step midpoint). The first scan
+        # step (i=M-1) has no history and the last (i=0) has h_0=inf; both
+        # drop to 1st order via use2=0 (c2 stays 0 there: the inactive
+        # correction term is exactly zero, never NaN).
+        c2 = jnp.zeros((M,), jnp.float32)
+        if M > 2:
+            c2 = c2.at[1 : M - 1].set(h[1 : M - 1] / (2.0 * h[2:M]))
+        use2 = np.ones(M, np.float32)
+        use2[0] = 0.0  # i = 0: lower-order final
+        use2[M - 1] = 0.0  # i = M-1: no history yet
+        xs = {
+            "i": jnp.asarray(idx, jnp.int32),
+            "ratio": (sg_p / sg)[idx],
+            "gain": (al_p * (1.0 - exp_mh))[idx],
+            "c2": c2[idx],
+            "use2": jnp.asarray(use2[idx]),
+        }
+
+        def dpm_body(carry, s):
+            x, prev_x0, buf = carry
+            tt = jnp.full((shape[0],), s["i"], jnp.int32)
+            out = p_mean_variance(
+                c, model_fn, x, tt, mean_type, var_type,
+                clip_denoised=clip_denoised,
+            )
+            if cond_grad_fn is not None:
+                out = condition_score(c, cond_grad_fn, out, x, tt)
+            x0 = out["pred_xstart"]
+            d = x0 + (s["use2"] * s["c2"]).astype(x.dtype) * (x0 - prev_x0)
+            x = s["ratio"].astype(x.dtype) * x + s["gain"].astype(x.dtype) * d
+            if buf is not None:
+                hits = (t_ckpt == c.timestep_map[s["i"]]).reshape(
+                    -1, *((1,) * x.ndim),
+                )
+                buf = jnp.where(hits, x[None], buf)
+            return (x, x0, buf), (x if progressive else None)
+
+        (x, _, buf), frames = jax.lax.scan(
+            dpm_body, (x, jnp.zeros_like(x), buf), xs,
+        )
+        if t_checkpoints is not None:
+            return x, buf
+        return (x, frames) if progressive else x
 
     def body(carry, t):
         x, key, buf = carry
@@ -764,7 +877,15 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         ``(final, frames[K])`` — the reference's intermediate-frame buffer."""
         coeffs = self.coeffs
         if num_steps and num_steps < coeffs.num_timesteps:
-            coeffs = respace(coeffs, num_steps)
+            coeffs = respace(
+                coeffs,
+                num_steps,
+                spacing=(
+                    "uniform-lambda"
+                    if sampler in ("dpm++", "dpmpp")
+                    else "uniform-t"
+                ),
+            )
         p = use_ema_params if use_ema_params is not None else params
         if t_checkpoints is None and not progressive:
             # construction-time default; progressive=True already returns
