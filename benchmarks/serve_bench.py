@@ -36,6 +36,7 @@ def main() -> None:
     grid = 8 if smoke else int(os.environ.get("SERVE_GRID", 32))
     mc = 16 if smoke else 64
     steps = 4 if smoke else int(os.environ.get("SERVE_STEPS", 50))
+    sampler = os.environ.get("SERVE_SAMPLER", "ddim")
     buckets = tuple(
         int(b) for b in os.environ.get(
             "SERVE_BUCKETS", "1,2" if smoke else "1,8",
@@ -74,7 +75,7 @@ def main() -> None:
     # occupancy 0.67 at 10 ms vs ~1.0 at 100 ms on the 64^3 workload
     delay = float(os.environ.get("SERVE_DELAY", 0.01))
     service = SamplingService(
-        pipe, params, sampler="ddim", num_steps=steps, cond_dim=cond_dim,
+        pipe, params, sampler=sampler, num_steps=steps, cond_dim=cond_dim,
         batch_buckets=buckets, max_delay_s=delay, warmup=True,
     )
     compile_s = time.perf_counter() - t0
@@ -104,7 +105,7 @@ def main() -> None:
     service.close()
 
     result = {
-        "workload": f"{grid}^3 ddim-{steps} (bf16, mc={mc})",
+        "workload": f"{grid}^3 {sampler}-{steps} (bf16, mc={mc})",
         "warmup_compile_s": round(compile_s, 1),
         "single_request_latency_p50_s": round(lats[len(lats) // 2], 4),
         "concurrent_requests": n_load,
