@@ -74,8 +74,10 @@ def main() -> None:
     # very short coalescing windows under-fill the big buckets — measured
     # occupancy 0.67 at 10 ms vs ~1.0 at 100 ms on the 64^3 workload
     delay = float(os.environ.get("SERVE_DELAY", 0.01))
+    guidance = float(os.environ.get("SERVE_GUIDANCE", 0)) or None  # CFG scale
     service = SamplingService(
         pipe, params, sampler=sampler, num_steps=steps, cond_dim=cond_dim,
+        guidance_scale=guidance,
         batch_buckets=buckets, max_delay_s=delay, warmup=True,
     )
     compile_s = time.perf_counter() - t0
@@ -105,7 +107,8 @@ def main() -> None:
     service.close()
 
     result = {
-        "workload": f"{grid}^3 {sampler}-{steps} (bf16, mc={mc})",
+        "workload": f"{grid}^3 {sampler}-{steps} (bf16, mc={mc})"
+        + (f" cfg={guidance}" if guidance else ""),
         "warmup_compile_s": round(compile_s, 1),
         "single_request_latency_p50_s": round(lats[len(lats) // 2], 4),
         "concurrent_requests": n_load,

@@ -119,6 +119,9 @@ class InferenceConfig(BaseModel):
     sampler: str = "ddpm"  # "ddpm" | "ddim" | "dpm++"
     ddim_steps: int = 0  # 0 -> full T
     use_ema: bool = True
+    # classifier-free guidance scale (1.0 = off); needs a model trained
+    # with pipeline cond_dropout > 0
+    guidance_scale: float = 1.0
 
 
 class ExperimentConfig(BaseModel):

@@ -189,7 +189,13 @@ class AbstractDiffusionPipeline:
             params = self.init_params(p_rng)
         return create_train_state(params, self.tx, s_rng, ema=self.ema_decay > 0)
 
-    def apply(self, params, x, t, y=None, train: bool = False):
+    def apply(self, params, x, t, y=None, train: bool = False, cond_mask=None):
+        if cond_mask is not None:
+            # only UNetv2 accepts per-sample conditioning dropout; passing the
+            # kwarg unconditionally would break backbones without CFG support
+            return self.backbone.apply(
+                {"params": params}, x, t, y, train, cond_mask=cond_mask,
+            )
         return self.backbone.apply({"params": params}, x, t, y, train)
 
     # ------------------------------------------------------------------

@@ -781,6 +781,7 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         sample_parameter_space: Optional[dict] = None,
         save_checkpoint_every_n_epochs: int = 10,
         t_checkpoints=None,
+        cond_dropout: float = 0.0,
         **base_kwargs,
     ) -> None:
         if schedule is None:
@@ -814,12 +815,65 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         self.sample_parameter_space = sample_parameter_space
         self.save_weights_every_n_epochs = save_checkpoint_every_n_epochs
         self.t_checkpoints = t_checkpoints
+        if not 0.0 <= cond_dropout < 1.0:
+            raise ValueError(f"cond_dropout must be in [0, 1), got {cond_dropout}")
+        self.cond_dropout = cond_dropout
 
-    def _model_fn(self, params, conditions, train: bool = False) -> Callable:
-        def fn(x, t):
-            return self.apply(params, x, t, conditions, train).astype(x.dtype)
+    def _model_fn(
+        self,
+        params,
+        conditions,
+        train: bool = False,
+        cond_mask=None,
+        guidance_scale: Optional[float] = None,
+    ) -> Callable:
+        """Close params/conditioning over a ``fn(x, t)`` the samplers call.
 
-        return fn
+        ``guidance_scale`` s != 1 builds the classifier-free-guided model
+        (Ho & Salimans, arXiv:2207.12598): out = uncond + s*(cond - uncond),
+        evaluated as ONE batched forward over [x; x] with a per-row
+        conditioning mask — a single 2B launch keeps the MXU batched instead
+        of two half-sized dispatches. Requires a backbone trained with
+        ``cond_dropout`` > 0 (the mask-0 rows are the null condition).
+        For LEARNED/LEARNED_RANGE variances only the mean-prediction half is
+        guided; the variance half comes from the conditional pass
+        (guided-diffusion convention).
+        """
+        if (
+            guidance_scale is None
+            or float(guidance_scale) == 1.0
+            or conditions is None
+        ):
+            def fn(x, t):
+                return self.apply(
+                    params, x, t, conditions, train, cond_mask=cond_mask,
+                ).astype(x.dtype)
+
+            return fn
+
+        s = float(guidance_scale)
+
+        def guided_fn(x, t):
+            b = x.shape[0]
+            x2 = jnp.concatenate([x, x])
+            t2 = jnp.concatenate([t, t])
+            y2 = jnp.concatenate([conditions, conditions])
+            mask = jnp.concatenate(
+                [jnp.ones((b,), jnp.float32), jnp.zeros((b,), jnp.float32)],
+            )
+            out2 = self.apply(params, x2, t2, y2, train, cond_mask=mask).astype(
+                x.dtype,
+            )
+            cond_out, uncond_out = out2[:b], out2[b:]
+            ch = x.shape[-1]
+            guided = uncond_out[..., :ch] + s * (
+                cond_out[..., :ch] - uncond_out[..., :ch]
+            )
+            if cond_out.shape[-1] > ch:
+                guided = jnp.concatenate([guided, cond_out[..., ch:]], axis=-1)
+            return guided
+
+        return guided_fn
 
     # -- training ------------------------------------------------------
     def forward_process(self, rng, data, t=None):
@@ -834,12 +888,19 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         double-noised; fixed here)."""
         batch = normalize_batch(batch)
         data, labels = batch["data"], batch["labels"]
-        t_rng, n_rng = jax.random.split(rng)
+        t_rng, n_rng, m_rng = jax.random.split(rng, 3)
         t = self.random_timesteps(t_rng, data.shape[0])
         noise = jax.random.normal(n_rng, data.shape, data.dtype)
+        cond_mask = None
+        if self.cond_dropout > 0.0 and labels is not None:
+            # classifier-free guidance training: drop each row's conditioning
+            # with prob p so the one network also learns the null condition
+            cond_mask = jax.random.bernoulli(
+                m_rng, 1.0 - self.cond_dropout, (data.shape[0],),
+            ).astype(jnp.float32)
         terms = training_losses(
             self.coeffs,
-            self._model_fn(params, labels, train=True),
+            self._model_fn(params, labels, train=True, cond_mask=cond_mask),
             data,
             t,
             noise,
@@ -870,11 +931,14 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         cond_grad_fn=None,
         use_ema_params=None,
         t_checkpoints=None,
+        guidance_scale: Optional[float] = None,
     ):
         """DDIM (default, like the reference's reverse_process :1029-1099) or
         ancestral sampling, optionally respaced to ``num_steps`` steps.
         ``t_checkpoints`` (here or at construction) returns
-        ``(final, frames[K])`` — the reference's intermediate-frame buffer."""
+        ``(final, frames[K])`` — the reference's intermediate-frame buffer.
+        ``guidance_scale`` != 1 applies classifier-free guidance (needs a
+        model trained with ``cond_dropout`` > 0)."""
         coeffs = self.coeffs
         if num_steps and num_steps < coeffs.num_timesteps:
             coeffs = respace(
@@ -893,7 +957,7 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
             t_checkpoints = self.t_checkpoints
         return sample_loop(
             coeffs,
-            self._model_fn(p, conditions),
+            self._model_fn(p, conditions, guidance_scale=guidance_scale),
             shape,
             rng,
             self.model_mean_type,
@@ -919,6 +983,7 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         sampler: str = "ddim",
         num_steps: Optional[int] = None,
         eta: float = 0.0,
+        guidance_scale: Optional[float] = None,
     ):
         """Deterministic eval-grid generation (reference generate :1102-1146
         draws sequential parameter-space rows, random=False)."""
@@ -935,11 +1000,15 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         else:
             conditions = self.coerce_conditions(conditions, batch_size, rng)
         # jitted-sampler cache keyed by static sampling options
-        key = ("gauss", shape, conditions is not None, sampler, num_steps, eta)
+        key = (
+            "gauss", shape, conditions is not None, sampler, num_steps, eta,
+            guidance_scale,
+        )
         if key not in self._sampler_cache:
             self._sampler_cache[key] = jax.jit(
                 lambda p, r, c: self.reverse_process(
                     p, r, shape, c, sampler=sampler, num_steps=num_steps, eta=eta,
+                    guidance_scale=guidance_scale,
                     t_checkpoints=(),  # final samples only, never the buffer
                 ),
             )

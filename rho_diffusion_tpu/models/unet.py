@@ -196,6 +196,7 @@ class UNet(nn.Module):
         timesteps: jnp.ndarray,
         y: Optional[jnp.ndarray] = None,
         train: bool = False,
+        cond_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         act = resolve_activation(self.activation)
         compute_dtype = jnp.bfloat16 if self.use_fp16 else self.dtype
@@ -233,12 +234,18 @@ class UNet(nn.Module):
         if self.num_classes is not None:
             assert y is not None, "class-conditional model requires y"
             if y.ndim == 2 and y.shape == emb.shape:
-                emb = emb + y.astype(emb.dtype)  # precomputed embeddings (sha512 path)
+                cond = y.astype(emb.dtype)  # precomputed embeddings (sha512 path)
             else:
                 assert self.cond_fn is not None, (
                     "conditioning labels require a cond_fn module"
                 )
-                emb = emb + self.cond_fn(y)
+                cond = self.cond_fn(y)
+            if cond_mask is not None:
+                # classifier-free guidance: per-sample conditioning dropout.
+                # mask 0 == the null condition (zero embedding contribution);
+                # param tree is unchanged, so CFG never invalidates checkpoints
+                cond = cond * cond_mask.astype(cond.dtype)[:, None]
+            emb = emb + cond
         emb = emb.astype(compute_dtype)
 
         # explicit module names keep the parameter tree identical whether

@@ -147,6 +147,7 @@ class SamplingService:
         sampler: str = "ddim",
         num_steps: Optional[int] = 50,
         eta: float = 0.0,
+        guidance_scale: Optional[float] = None,
         cond_dim: Optional[int] = None,
         batch_buckets: Sequence[int] = (1, 2, 4, 8),
         max_delay_s: float = 0.002,
@@ -177,6 +178,7 @@ class SamplingService:
         self.sampler = sampler
         self.num_steps = num_steps
         self.eta = eta
+        self.guidance_scale = guidance_scale
         self.cond_dim = cond_dim
         self.buckets = tuple(int(b) for b in batch_buckets)
         self.max_delay_s = float(max_delay_s)
@@ -252,6 +254,9 @@ class SamplingService:
             service_kwargs["sampler"] = config.inference.sampler
         if "num_steps" not in service_kwargs:
             service_kwargs["num_steps"] = config.inference.ddim_steps or None
+        if "guidance_scale" not in service_kwargs:
+            gs = getattr(config.inference, "guidance_scale", 1.0)
+            service_kwargs["guidance_scale"] = None if gs == 1.0 else gs
         service = cls(pipeline, params, **service_kwargs)
         service._config = config  # enables reload_from_checkpoint
         return service
@@ -439,11 +444,13 @@ class SamplingService:
         shape = pipeline.sample_shape(bucket)
         if hasattr(pipeline, "coeffs"):  # GaussianDiffusion family
             sampler, eta, num_steps = self.sampler, self.eta, self.num_steps
+            guidance = self.guidance_scale
 
             def raw(params, rng, conds, x_T):
                 return pipeline.reverse_process(
                     params, rng, shape, conds,
                     sampler=sampler, eta=eta, num_steps=num_steps,
+                    guidance_scale=guidance,
                     x_T=x_T, t_checkpoints=(),
                 )
 

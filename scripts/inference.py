@@ -39,6 +39,11 @@ def main() -> None:
     )
     parser.add_argument("--sampler", default=None, choices=["ddpm", "ddim", "dpm++"])
     parser.add_argument("--steps", type=int, default=None, help="respaced sampling steps")
+    parser.add_argument(
+        "--guidance", type=float, default=None,
+        help="classifier-free guidance scale (1.0 = off; needs a model "
+        "trained with cond_dropout > 0)",
+    )
     parser.add_argument("--work-dir", type=Path, default=Path("."))
     args = parser.parse_args()
 
@@ -87,7 +92,16 @@ def main() -> None:
     num_steps = args.steps or (config.inference.ddim_steps or None)
     kwargs = {}
     if hasattr(pipeline, "coeffs"):  # GaussianDiffusion family
-        kwargs = {"sampler": sampler, "num_steps": num_steps}
+        guidance = (
+            args.guidance
+            if args.guidance is not None
+            else config.inference.guidance_scale
+        )
+        kwargs = {
+            "sampler": sampler,
+            "num_steps": num_steps,
+            "guidance_scale": guidance,
+        }
     samples = pipeline.generate(
         params,
         jax.random.PRNGKey(config.inference.seed),

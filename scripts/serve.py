@@ -32,6 +32,11 @@ def main() -> None:
     parser.add_argument("--sampler", default=None, choices=["ddpm", "ddim", "dpm++"])
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument(
+        "--guidance", type=float, default=None,
+        help="classifier-free guidance scale (1.0 = off; needs a model "
+             "trained with cond_dropout > 0)",
+    )
+    parser.add_argument(
         "--buckets", default="1,2,4,8",
         help="comma-separated compiled batch sizes (ascending)",
     )
@@ -79,6 +84,8 @@ def main() -> None:
         kwargs["sampler"] = args.sampler
     if args.steps:
         kwargs["num_steps"] = args.steps
+    if args.guidance is not None:
+        kwargs["guidance_scale"] = None if args.guidance == 1.0 else args.guidance
     if args.cond_dim is not None:
         kwargs["cond_dim"] = args.cond_dim
     kwargs["warmup"] = args.warmup
