@@ -56,6 +56,10 @@ def main() -> None:
     import jax
     import numpy as np
 
+    from rho_diffusion_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     from rho_diffusion_tpu.config import ExperimentConfig
     from rho_diffusion_tpu.utils import plot_tensor_images
 

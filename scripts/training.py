@@ -56,6 +56,10 @@ def main() -> None:
 
     import jax
 
+    from rho_diffusion_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     from rho_diffusion_tpu.config import ExperimentConfig
     from rho_diffusion_tpu.parallel import initialize_distributed
     from rho_diffusion_tpu.training.trainer import Trainer, build_pipeline_from_config

@@ -41,6 +41,10 @@ def main() -> None:
 
     import jax
 
+    from rho_diffusion_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     from rho_diffusion_tpu.parallel.mesh import initialize_distributed
 
     if world is not None:

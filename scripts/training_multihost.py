@@ -40,6 +40,10 @@ def main() -> None:
 
     import jax
 
+    from rho_diffusion_tpu.utils import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     kwargs = {}
     if args.coordinator:
         kwargs = dict(
