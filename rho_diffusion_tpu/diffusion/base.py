@@ -198,6 +198,56 @@ class AbstractDiffusionPipeline:
             )
         return self.backbone.apply({"params": params}, x, t, y, train)
 
+    def guided_model_fn(self, params, conditions, guidance_scale, train=False):
+        """Classifier-free-guided ``fn(x, t)`` (Ho & Salimans, arXiv:2207.12598):
+        out = uncond + s*(cond - uncond), evaluated as ONE batched forward
+        over [x; x] with a per-row conditioning mask — a single 2B launch
+        keeps the MXU batched instead of two half-sized dispatches. Requires
+        a backbone trained with ``cond_dropout`` > 0 (mask-0 rows are the
+        null condition). If the model emits extra channels beyond the data
+        channels (learned-variance heads), only the mean half is guided; the
+        extra channels come from the conditional pass (guided-diffusion
+        convention)."""
+        s = float(guidance_scale)
+
+        def guided_fn(x, t):
+            b = x.shape[0]
+            x2 = jnp.concatenate([x, x])
+            t2 = jnp.concatenate([t, t])
+            y2 = jnp.concatenate([conditions, conditions])
+            mask = jnp.concatenate(
+                [jnp.ones((b,), jnp.float32), jnp.zeros((b,), jnp.float32)],
+            )
+            out2 = self.apply(params, x2, t2, y2, train, cond_mask=mask).astype(
+                x.dtype,
+            )
+            cond_out, uncond_out = out2[:b], out2[b:]
+            ch = x.shape[-1]
+            guided = uncond_out[..., :ch] + s * (
+                cond_out[..., :ch] - uncond_out[..., :ch]
+            )
+            if cond_out.shape[-1] > ch:
+                guided = jnp.concatenate([guided, cond_out[..., ch:]], axis=-1)
+            return guided
+
+        return guided_fn
+
+    @staticmethod
+    def validate_cond_dropout(cond_dropout: float) -> float:
+        if not 0.0 <= cond_dropout < 1.0:
+            raise ValueError(f"cond_dropout must be in [0, 1), got {cond_dropout}")
+        return cond_dropout
+
+    def cond_dropout_mask(self, rng, batch_size: int, labels):
+        """Per-row Bernoulli keep-mask for CFG training, or None when
+        conditioning dropout is off/inapplicable."""
+        p = getattr(self, "cond_dropout", 0.0)
+        if p <= 0.0 or labels is None:
+            return None
+        return jax.random.bernoulli(
+            rng, 1.0 - p, (batch_size,),
+        ).astype(jnp.float32)
+
     # ------------------------------------------------------------------
     # Training
     # ------------------------------------------------------------------

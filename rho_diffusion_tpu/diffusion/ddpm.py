@@ -83,6 +83,7 @@ class DDPM(AbstractDiffusionPipeline):
         save_checkpoint_every_n_epochs: int = 10,
         noise_factor: float = 0.8,
         clip_denoised: bool = True,
+        cond_dropout: float = 0.0,
         **base_kwargs,
     ) -> None:
         super().__init__(
@@ -104,6 +105,7 @@ class DDPM(AbstractDiffusionPipeline):
         self.save_weights_every_n_epochs = save_checkpoint_every_n_epochs
         self.noise_factor = noise_factor
         self.clip_denoised = clip_denoised
+        self.cond_dropout = self.validate_cond_dropout(cond_dropout)
 
     # ------------------------------------------------------------------
     # Training
@@ -123,8 +125,15 @@ class DDPM(AbstractDiffusionPipeline):
         guard sys.exit becomes a debug-checkable metric."""
         batch = normalize_batch(batch)
         data, labels = batch["data"], batch["labels"]
+        cond_mask = None
+        if self.cond_dropout > 0.0:
+            # classifier-free guidance training: per-row conditioning dropout
+            # (the extra split only happens when CFG is on, so existing runs'
+            # RNG streams are untouched)
+            rng, m_rng = jax.random.split(rng)
+            cond_mask = self.cond_dropout_mask(m_rng, data.shape[0], labels)
         x_t, noise, t = self.forward_process(rng, data)
-        eps_hat = self.apply(params, x_t, t, labels, train=True)
+        eps_hat = self.apply(params, x_t, t, labels, train=True, cond_mask=cond_mask)
         loss = self.loss_func(eps_hat, noise.astype(eps_hat.dtype))
         metrics = self.training_metrics(data, x_t, loss)
         return loss, metrics
@@ -140,9 +149,13 @@ class DDPM(AbstractDiffusionPipeline):
         conditions: Optional[jnp.ndarray] = None,
         t_checkpoints=None,
         x_T: Optional[jnp.ndarray] = None,
+        guidance_scale: Optional[float] = None,
     ) -> dict:
         """Full ancestral sampling as one on-device ``lax.scan``
         (reference ddpm.py:132-229). Returns {'denoised', 'buffer'}.
+
+        ``guidance_scale`` != 1 applies classifier-free guidance (needs a
+        model trained with ``cond_dropout`` > 0).
 
         ``rng`` may be a batched [B] typed key array (see sampling_rng):
         each row's step noise is then ``fold_in(row_key, t)``, independent
@@ -176,9 +189,17 @@ class DDPM(AbstractDiffusionPipeline):
         )
 
         schedule = self.schedule
-        apply = self.apply
         noise_factor = self.noise_factor
         clip = self.clip_denoised
+        if (
+            guidance_scale is not None
+            and float(guidance_scale) != 1.0
+            and conditions is not None
+        ):
+            model_fn = self.guided_model_fn(params, conditions, guidance_scale)
+        else:
+            def model_fn(x, tt):
+                return self.apply(params, x, tt, conditions).astype(x.dtype)
 
         def body(carry, t):
             x, key, ckpt_idx, buff = carry
@@ -189,7 +210,7 @@ class DDPM(AbstractDiffusionPipeline):
             z = normal_like(z_key, x.shape, x.dtype)
             z = jnp.where(t > 1, z, jnp.zeros_like(z))
             tt = jnp.full((batch_size,), t, jnp.int32)
-            eps_hat = apply(params, x, tt, conditions)
+            eps_hat = model_fn(x, tt)
             x_next = ddpm_reverse_step(
                 schedule, x, eps_hat.astype(x.dtype), tt, z,
                 noise_factor=noise_factor, clip=clip,
@@ -220,6 +241,7 @@ class DDPM(AbstractDiffusionPipeline):
         parameter_space: Optional[dict] = None,
         random: bool = True,
         as_hash_embeddings: bool = False,
+        guidance_scale: Optional[float] = None,
     ) -> dict:
         """Draw samples, building the shape from backbone kwargs and the
         conditions from a parameter space (reference p_sample/generate,
@@ -240,11 +262,13 @@ class DDPM(AbstractDiffusionPipeline):
         # cache the jitted sampler per (shape, conditioning) so repeated
         # epoch-end generation doesn't re-trace the T-step scan
         key = ("ddpm", shape, conditions is not None,
-               len(self.t_checkpoints) if self.t_checkpoints is not None else 0)
+               len(self.t_checkpoints) if self.t_checkpoints is not None else 0,
+               guidance_scale)
         if key not in self._sampler_cache:
             self._sampler_cache[key] = jax.jit(
                 lambda p, r, c: self.reverse_process(
                     p, r, shape, c, t_checkpoints=self.t_checkpoints,
+                    guidance_scale=guidance_scale,
                 ),
             )
         return self._sampler_cache[key](params, rng, conditions)
@@ -258,6 +282,7 @@ class DDPM(AbstractDiffusionPipeline):
         conditions=None,
         random: bool = True,
         as_hash_embeddings: bool = False,
+        guidance_scale: Optional[float] = None,
     ) -> jnp.ndarray:
         """Sample a batch of fields (reference generate, ddpm.py:342-360)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -270,5 +295,6 @@ class DDPM(AbstractDiffusionPipeline):
             parameter_space=space,
             random=random,
             as_hash_embeddings=as_hash_embeddings,
+            guidance_scale=guidance_scale,
         )
         return out["denoised"]

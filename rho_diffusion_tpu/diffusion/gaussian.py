@@ -815,9 +815,7 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         self.sample_parameter_space = sample_parameter_space
         self.save_weights_every_n_epochs = save_checkpoint_every_n_epochs
         self.t_checkpoints = t_checkpoints
-        if not 0.0 <= cond_dropout < 1.0:
-            raise ValueError(f"cond_dropout must be in [0, 1), got {cond_dropout}")
-        self.cond_dropout = cond_dropout
+        self.cond_dropout = self.validate_cond_dropout(cond_dropout)
 
     def _model_fn(
         self,
@@ -851,29 +849,7 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
 
             return fn
 
-        s = float(guidance_scale)
-
-        def guided_fn(x, t):
-            b = x.shape[0]
-            x2 = jnp.concatenate([x, x])
-            t2 = jnp.concatenate([t, t])
-            y2 = jnp.concatenate([conditions, conditions])
-            mask = jnp.concatenate(
-                [jnp.ones((b,), jnp.float32), jnp.zeros((b,), jnp.float32)],
-            )
-            out2 = self.apply(params, x2, t2, y2, train, cond_mask=mask).astype(
-                x.dtype,
-            )
-            cond_out, uncond_out = out2[:b], out2[b:]
-            ch = x.shape[-1]
-            guided = uncond_out[..., :ch] + s * (
-                cond_out[..., :ch] - uncond_out[..., :ch]
-            )
-            if cond_out.shape[-1] > ch:
-                guided = jnp.concatenate([guided, cond_out[..., ch:]], axis=-1)
-            return guided
-
-        return guided_fn
+        return self.guided_model_fn(params, conditions, guidance_scale, train)
 
     # -- training ------------------------------------------------------
     def forward_process(self, rng, data, t=None):
@@ -891,13 +867,9 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         t_rng, n_rng, m_rng = jax.random.split(rng, 3)
         t = self.random_timesteps(t_rng, data.shape[0])
         noise = jax.random.normal(n_rng, data.shape, data.dtype)
-        cond_mask = None
-        if self.cond_dropout > 0.0 and labels is not None:
-            # classifier-free guidance training: drop each row's conditioning
-            # with prob p so the one network also learns the null condition
-            cond_mask = jax.random.bernoulli(
-                m_rng, 1.0 - self.cond_dropout, (data.shape[0],),
-            ).astype(jnp.float32)
+        # classifier-free guidance training: drop each row's conditioning
+        # with prob p so the one network also learns the null condition
+        cond_mask = self.cond_dropout_mask(m_rng, data.shape[0], labels)
         terms = training_losses(
             self.coeffs,
             self._model_fn(params, labels, train=True, cond_mask=cond_mask),

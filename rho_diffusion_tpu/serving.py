@@ -455,10 +455,12 @@ class SamplingService:
                 )
 
         else:  # DDPM pipeline: ancestral only, like the reference
+            guidance = self.guidance_scale
 
             def raw(params, rng, conds, x_T):
                 return pipeline.reverse_process(
                     params, rng, shape, conds, x_T=x_T,
+                    guidance_scale=guidance,
                 )["denoised"]
 
         if self.mesh is not None:

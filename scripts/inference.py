@@ -94,18 +94,14 @@ def main() -> None:
     use_hash = bool(getattr(dataset, "use_emb_as_labels", False)) if dataset else False
     sampler = args.sampler or config.inference.sampler
     num_steps = args.steps or (config.inference.ddim_steps or None)
-    kwargs = {}
+    guidance = (
+        args.guidance
+        if args.guidance is not None
+        else config.inference.guidance_scale
+    )
+    kwargs = {"guidance_scale": guidance}
     if hasattr(pipeline, "coeffs"):  # GaussianDiffusion family
-        guidance = (
-            args.guidance
-            if args.guidance is not None
-            else config.inference.guidance_scale
-        )
-        kwargs = {
-            "sampler": sampler,
-            "num_steps": num_steps,
-            "guidance_scale": guidance,
-        }
+        kwargs.update({"sampler": sampler, "num_steps": num_steps})
     samples = pipeline.generate(
         params,
         jax.random.PRNGKey(config.inference.seed),

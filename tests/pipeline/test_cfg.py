@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from rho_diffusion_tpu.diffusion import (
+    DDPM,
     GaussianDiffusionPipeline,
     LinearSchedule,
 )
@@ -142,6 +143,80 @@ def test_guided_learned_range_variance_from_cond_pass(cond_batch):
     np.testing.assert_allclose(
         np.asarray(guided[..., 1:]), np.asarray(cond[..., 1:]), atol=1e-5,
     )
+
+
+def _ddpm_pipe(**kw):
+    return DDPM(
+        backbone="UNetv2",
+        backbone_kwargs=dict(
+            data_shape=(8, 8),
+            dims=2,
+            in_channels=1,
+            out_channels=1,
+            model_channels=MC,
+            num_res_blocks=1,
+            channel_mult=(1, 2),
+            attention_resolutions=[],
+            num_heads=1,
+            num_classes=1,
+        ),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        optimizer="AdamW",
+        opt_kwargs={"lr": 1e-3},
+        **kw,
+    )
+
+
+def test_ddpm_cond_dropout_training(cond_batch):
+    """The DDPM pipeline trains with conditioning dropout too — and with
+    dropout OFF its RNG stream (loss) is unchanged vs a no-CFG pipeline."""
+    pipe = _ddpm_pipe(cond_dropout=0.5)
+    state = pipe.create_state(jax.random.PRNGKey(0))
+    for _ in range(2):
+        state, m = pipe.training_step(state, cond_batch)
+    assert np.isfinite(float(m["train_loss"]))
+
+    plain, with_zero = _ddpm_pipe(), _ddpm_pipe(cond_dropout=0.0)
+    s1 = plain.create_state(jax.random.PRNGKey(0))
+    s2 = with_zero.create_state(jax.random.PRNGKey(0))
+    _, m1 = plain.training_step(s1, cond_batch)
+    _, m2 = with_zero.training_step(s2, cond_batch)
+    assert float(m1["train_loss"]) == float(m2["train_loss"])
+
+    with pytest.raises(ValueError, match="cond_dropout"):
+        _ddpm_pipe(cond_dropout=-0.1)
+
+
+def test_ddpm_guided_sampling(cond_batch):
+    """DDPM ancestral sampling honours guidance_scale: scale 1 reproduces
+    the unguided trajectory exactly, scale != 1 changes it, all finite."""
+    pipe = _ddpm_pipe(cond_dropout=0.2)
+    params = _live_params(pipe)
+    y = jnp.asarray(cond_batch["labels"][:2])
+    shape = (2, 8, 8, 1)
+
+    unguided = pipe.reverse_process(params, jax.random.PRNGKey(3), shape, y)
+    same = pipe.reverse_process(
+        params, jax.random.PRNGKey(3), shape, y, guidance_scale=1.0,
+    )
+    guided = pipe.reverse_process(
+        params, jax.random.PRNGKey(3), shape, y, guidance_scale=3.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(same["denoised"]), np.asarray(unguided["denoised"]), atol=1e-6,
+    )
+    assert np.isfinite(np.asarray(guided["denoised"])).all()
+    assert float(np.abs(
+        np.asarray(guided["denoised"]) - np.asarray(unguided["denoised"]),
+    ).max()) > 1e-6
+
+    # generate() surface passes the scale through (explicit conditions —
+    # hash embeddings have a 128-dim floor, this test model's emb is 32)
+    out = pipe.generate(
+        params, jax.random.PRNGKey(4), batch_size=2,
+        conditions=y, guidance_scale=2.0,
+    )
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_sampling_with_guidance(cond_batch):
