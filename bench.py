@@ -74,7 +74,7 @@ def _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke) -> None
     from rho_diffusion_tpu.diffusion import GaussianDiffusionPipeline, LinearSchedule
 
     steps = int(os.environ.get("BENCH_DDIM_STEPS", 10 if smoke else 50))
-    sampler = os.environ.get("BENCH_SAMPLER", "ddim")  # ddim | ddpm (full-T ancestral)
+    sampler = os.environ.get("BENCH_SAMPLER", "ddim")  # ddim | ddpm (full-T) | dpm++
     pipe = GaussianDiffusionPipeline(
         backbone="UNetv2",
         backbone_kwargs=backbone_kwargs,

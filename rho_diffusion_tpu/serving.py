@@ -61,7 +61,7 @@ class _Chunk:
 
     conditions: Optional[np.ndarray]  # [n, cond_dim] or None
     x_T: np.ndarray  # [n, *sample_shape[1:]]
-    keys: object  # [n] typed PRNG keys (per-row sampler noise streams)
+    seed: int  # request seed; row i's noise stream is (seed, offset + i)
     n: int
     enqueued_at: float
     assembly: "_Assembly"
@@ -199,16 +199,15 @@ class SamplingService:
             # compile AND execute each bucket synchronously so a broken
             # sampler (shape error, OOM, missing conditioning) fails the
             # constructor instead of every future request
-            from rho_diffusion_tpu.diffusion.sampling_rng import per_sample_keys
-
             for b in self.buckets:
                 fn = self._get_compiled(b)
                 conds = (
                     np.zeros((b, cond_dim), np.float32) if cond_dim else None
                 )
                 x_T = np.zeros((b, *self._sample_shape1), np.float32)
-                keys = per_sample_keys(0, b)
-                jax.block_until_ready(fn(self.params, keys, conds, x_T))
+                seeds = np.zeros(b, np.uint32)
+                idxs = np.arange(b, dtype=np.int32)
+                jax.block_until_ready(fn(self.params, seeds, idxs, conds, x_T))
         self._worker = threading.Thread(
             target=self._worker_loop, name="sampling-service", daemon=True,
         )
@@ -302,15 +301,16 @@ class SamplingService:
             n = 1 if n is None else n
         if n < 1:
             raise ValueError(f"n must be >= 1, got {n}")
-        from rho_diffusion_tpu.diffusion.sampling_rng import per_sample_keys
-
         future: Future = Future()
         assembly = _Assembly(n, future)
         x_T = self._draw_x_T(seed, n)
         # one noise stream per row, derived from (seed, row index) exactly
         # like x_T — the sampler's ancestral/eta>0 noise is then also
-        # independent of micro-batch composition and service instance
-        keys = per_sample_keys(seed, n)
+        # independent of micro-batch composition and service instance.
+        # The typed keys are built INSIDE the compiled sampler from these
+        # integers (keys_from_seeds): submit touches no jax at all, which
+        # matters through a remote-device tunnel (eager key construction
+        # measured ~0.2 s/request and throttled fast-sampler throughput)
         now = time.perf_counter()
         max_bucket = self.buckets[-1]
         # closed-check and enqueue under one lock so a concurrent close()
@@ -332,7 +332,7 @@ class SamplingService:
                             else None
                         ),
                         x_T=x_T[off : off + m],
-                        keys=keys[off : off + m],
+                        seed=seed,
                         n=m,
                         enqueued_at=now,
                         assembly=assembly,
@@ -442,13 +442,15 @@ class SamplingService:
 
         pipeline = self.pipeline
         shape = pipeline.sample_shape(bucket)
+        from rho_diffusion_tpu.diffusion.sampling_rng import keys_from_seeds
+
         if hasattr(pipeline, "coeffs"):  # GaussianDiffusion family
             sampler, eta, num_steps = self.sampler, self.eta, self.num_steps
             guidance = self.guidance_scale
 
-            def raw(params, rng, conds, x_T):
+            def raw(params, seeds, idxs, conds, x_T):
                 return pipeline.reverse_process(
-                    params, rng, shape, conds,
+                    params, keys_from_seeds(seeds, idxs), shape, conds,
                     sampler=sampler, eta=eta, num_steps=num_steps,
                     guidance_scale=guidance,
                     x_T=x_T, t_checkpoints=(),
@@ -457,9 +459,9 @@ class SamplingService:
         else:  # DDPM pipeline: ancestral only, like the reference
             guidance = self.guidance_scale
 
-            def raw(params, rng, conds, x_T):
+            def raw(params, seeds, idxs, conds, x_T):
                 return pipeline.reverse_process(
-                    params, rng, shape, conds, x_T=x_T,
+                    params, keys_from_seeds(seeds, idxs), shape, conds, x_T=x_T,
                     guidance_scale=guidance,
                 )["denoised"]
 
@@ -481,18 +483,20 @@ class SamplingService:
             spatial = mesh.shape.get(CONTEXT_AXIS, 1) > 1
             inner = raw
 
-            def raw(params, rng, conds, x_T):  # noqa: F811 - mesh wrapper
+            def raw(params, seeds, idxs, conds, x_T):  # noqa: F811 - mesh wrapper
                 with active_mesh(mesh):
-                    return inner(params, rng, conds, x_T)
+                    return inner(params, seeds, idxs, conds, x_T)
 
             x_sh = batch_sharding(mesh, spatial=spatial)
             c_sh = batch_sharding(mesh)
             rsh = replicated(mesh)
-            # rng is the [bucket] per-row key array — it rides the data
-            # axis with its rows
+            # seeds/idxs are the [bucket] per-row noise identities — they
+            # ride the data axis with their rows
             fn = jax.jit(
                 raw,
-                in_shardings=(rsh, c_sh, c_sh if self.cond_dim else None, x_sh),
+                in_shardings=(
+                    rsh, c_sh, c_sh, c_sh if self.cond_dim else None, x_sh,
+                ),
                 out_shardings=x_sh,
             )
         else:
@@ -507,10 +511,6 @@ class SamplingService:
         return self.buckets[-1]
 
     def _launch(self, chunks: list[_Chunk]) -> None:
-        import jax
-
-        from rho_diffusion_tpu.diffusion.sampling_rng import per_sample_keys
-
         total = sum(c.n for c in chunks)
         bucket = self._pick_bucket(total)
         try:
@@ -520,12 +520,18 @@ class SamplingService:
                 x_T = np.concatenate(
                     [x_T, np.zeros((pad, *x_T.shape[1:]), x_T.dtype)], axis=0,
                 )
-            import jax.numpy as jnp
-
-            keys = [c.keys for c in chunks]
-            if pad:
-                keys.append(per_sample_keys(0, pad))  # rows discarded below
-            rng = jnp.concatenate(keys) if len(keys) > 1 else keys[0]
+            # per-row noise identities as PLAIN integer arrays; the compiled
+            # sampler turns them into typed keys (keys_from_seeds) on device.
+            # Pad rows reuse (seed 0, row 0..) and are discarded below.
+            seeds = np.concatenate(
+                [np.full(c.n, c.seed & 0xFFFFFFFF, np.uint32) for c in chunks]
+                + ([np.zeros(pad, np.uint32)] if pad else []),
+            )
+            idxs = np.concatenate(
+                [np.arange(c.offset, c.offset + c.n, dtype=np.int32)
+                 for c in chunks]
+                + ([np.arange(pad, dtype=np.int32)] if pad else []),
+            )
             conds = None
             if self.cond_dim is not None:
                 conds = np.concatenate(
@@ -537,7 +543,7 @@ class SamplingService:
                         axis=0,
                     )
             fn = self._get_compiled(bucket)
-            out = np.asarray(fn(self.params, rng, conds, x_T))
+            out = np.asarray(fn(self.params, seeds, idxs, conds, x_T))
         except Exception as exc:
             # device failures AND batch-assembly bugs both resolve the
             # futures; the worker thread itself must never die (that would

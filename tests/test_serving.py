@@ -55,6 +55,24 @@ def uncond_service():
     service.close()
 
 
+def test_keys_from_seeds_matches_per_sample_keys():
+    """The in-jit integer->typed-key path (what _launch compiles) must be
+    bitwise identical to the eager per_sample_keys contract — request
+    determinism across service versions depends on it."""
+    from rho_diffusion_tpu.diffusion.sampling_rng import (
+        keys_from_seeds,
+        per_sample_keys,
+    )
+
+    eager = per_sample_keys(1234, 4, start=2)
+    traced = jax.jit(keys_from_seeds)(
+        np.full(4, 1234, np.uint32), np.arange(2, 6, dtype=np.int32),
+    )
+    np.testing.assert_array_equal(
+        jax.random.key_data(eager), jax.random.key_data(traced),
+    )
+
+
 def test_single_request_roundtrip(uncond_service):
     res = uncond_service.generate(n=3, seed=7)
     assert res.samples.shape == (3, 8, 8, 1)
