@@ -160,12 +160,10 @@ def main() -> None:
     _require_live_backend()
     # persistent compile cache: the tunneled-TPU remote compile of the 3D
     # UNet takes minutes cold; cached reruns are seconds.
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/rho_jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    import jax
+    from rho_diffusion_tpu.utils import enable_persistent_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_persistent_compile_cache()
+    import jax
 
     import jax.numpy as jnp
     import numpy as np

@@ -25,12 +25,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/rho_jax_cache")
-os.makedirs(cache_dir, exist_ok=True)
-import jax  # noqa: E402
+from rho_diffusion_tpu.utils import enable_persistent_compile_cache  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+enable_persistent_compile_cache()
+import jax  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -21,12 +21,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/rho_jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    import jax
+    from rho_diffusion_tpu.utils import enable_persistent_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_persistent_compile_cache()
+    import jax
     import jax.numpy as jnp
 
     from rho_diffusion_tpu.diffusion import GaussianDiffusionPipeline, LinearSchedule
@@ -74,7 +72,10 @@ def main() -> None:
     # very short coalescing windows under-fill the big buckets — measured
     # occupancy 0.67 at 10 ms vs ~1.0 at 100 ms on the 64^3 workload
     delay = float(os.environ.get("SERVE_DELAY", 0.01))
-    guidance = float(os.environ.get("SERVE_GUIDANCE", 0)) or None  # CFG scale
+    # CFG scale; unset = off. 1.0 compiles the plain sampler (reverse_process
+    # treats it as unguided), 0.0 is a valid pure-unconditional scale.
+    _g = os.environ.get("SERVE_GUIDANCE")
+    guidance = float(_g) if _g is not None else None
     service = SamplingService(
         pipe, params, sampler=sampler, num_steps=steps, cond_dim=cond_dim,
         guidance_scale=guidance,
@@ -108,7 +109,7 @@ def main() -> None:
 
     result = {
         "workload": f"{grid}^3 {sampler}-{steps} (bf16, mc={mc})"
-        + (f" cfg={guidance}" if guidance else ""),
+        + (f" cfg={guidance}" if guidance is not None and guidance != 1.0 else ""),
         "warmup_compile_s": round(compile_s, 1),
         "single_request_latency_p50_s": round(lats[len(lats) // 2], 4),
         "concurrent_requests": n_load,

@@ -198,6 +198,28 @@ class AbstractDiffusionPipeline:
             )
         return self.backbone.apply({"params": params}, x, t, y, train)
 
+    def backbone_supports_cond_mask(self) -> bool:
+        """True when the backbone's __call__ accepts per-sample conditioning
+        dropout (``cond_mask``) — the hook CFG training and guided sampling
+        require. Checked at construction so an unsupported backbone fails
+        with a clear error instead of a flax kwarg TypeError mid-trace."""
+        import inspect
+
+        try:
+            sig = inspect.signature(type(self.backbone).__call__)
+        except (TypeError, ValueError):
+            return False
+        return "cond_mask" in sig.parameters
+
+    def _require_cfg_backbone(self, what: str) -> None:
+        if not self.backbone_supports_cond_mask():
+            raise ValueError(
+                f"{what} requires a backbone with per-sample conditioning "
+                f"dropout support (a `cond_mask` __call__ kwarg); "
+                f"{type(self.backbone).__name__} has none. Use the UNetv2 "
+                "backbone or add cond_mask handling to the model.",
+            )
+
     def guided_model_fn(self, params, conditions, guidance_scale, train=False):
         """Classifier-free-guided ``fn(x, t)`` (Ho & Salimans, arXiv:2207.12598):
         out = uncond + s*(cond - uncond), evaluated as ONE batched forward
@@ -208,6 +230,7 @@ class AbstractDiffusionPipeline:
         channels (learned-variance heads), only the mean half is guided; the
         extra channels come from the conditional pass (guided-diffusion
         convention)."""
+        self._require_cfg_backbone(f"guidance_scale={guidance_scale}")
         s = float(guidance_scale)
 
         def guided_fn(x, t):
@@ -232,10 +255,11 @@ class AbstractDiffusionPipeline:
 
         return guided_fn
 
-    @staticmethod
-    def validate_cond_dropout(cond_dropout: float) -> float:
+    def validate_cond_dropout(self, cond_dropout: float) -> float:
         if not 0.0 <= cond_dropout < 1.0:
             raise ValueError(f"cond_dropout must be in [0, 1), got {cond_dropout}")
+        if cond_dropout > 0.0:
+            self._require_cfg_backbone(f"cond_dropout={cond_dropout}")
         return cond_dropout
 
     def cond_dropout_mask(self, rng, batch_size: int, labels):

@@ -178,6 +178,18 @@ class SamplingService:
         self.sampler = sampler
         self.num_steps = num_steps
         self.eta = eta
+        if (
+            guidance_scale is not None
+            and float(guidance_scale) != 1.0
+            and cond_dim is None
+        ):
+            # fail loudly like submit()'s conditions/cond_dim checks: the
+            # guided sampler needs condition rows, so an unconditional
+            # service would silently serve UNGUIDED samples otherwise
+            raise ValueError(
+                f"guidance_scale={guidance_scale} requires a conditional "
+                "service (cond_dim is None)",
+            )
         self.guidance_scale = guidance_scale
         self.cond_dim = cond_dim
         self.buckets = tuple(int(b) for b in batch_buckets)
@@ -254,8 +266,11 @@ class SamplingService:
         if "num_steps" not in service_kwargs:
             service_kwargs["num_steps"] = config.inference.ddim_steps or None
         if "guidance_scale" not in service_kwargs:
-            gs = getattr(config.inference, "guidance_scale", 1.0)
-            service_kwargs["guidance_scale"] = None if gs == 1.0 else gs
+            # 1.0 is the unguided no-op everywhere downstream; no
+            # normalization needed (reverse_process short-circuits on it)
+            service_kwargs["guidance_scale"] = getattr(
+                config.inference, "guidance_scale", 1.0,
+            )
         service = cls(pipeline, params, **service_kwargs)
         service._config = config  # enables reload_from_checkpoint
         return service

@@ -68,12 +68,10 @@ def main() -> None:
     # persistent compile cache: a restarted (or horizontally scaled) server
     # re-loads its bucket programs in seconds instead of recompiling
     # (measured 151 s cold for the 32^3 DDIM-50 buckets, RESULTS.md)
-    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/rho_jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    import jax
+    from rho_diffusion_tpu.utils import enable_persistent_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_persistent_compile_cache()
+    import jax
 
     from http.server import ThreadingHTTPServer
 
@@ -85,7 +83,7 @@ def main() -> None:
     if args.steps:
         kwargs["num_steps"] = args.steps
     if args.guidance is not None:
-        kwargs["guidance_scale"] = None if args.guidance == 1.0 else args.guidance
+        kwargs["guidance_scale"] = args.guidance  # 1.0 == unguided no-op
     if args.cond_dim is not None:
         kwargs["cond_dim"] = args.cond_dim
     kwargs["warmup"] = args.warmup

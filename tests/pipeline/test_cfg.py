@@ -104,6 +104,42 @@ def test_cond_dropout_validation():
         _pipe(cond_dropout=1.5)
 
 
+def test_cfg_requires_capable_backbone():
+    """Backbones without cond_mask support fail AT CONSTRUCTION (not with a
+    flax kwarg TypeError mid-trace on training step 1), and guided sampling
+    on them fails with the same clear error."""
+    import re
+
+    from rho_diffusion_tpu.diffusion import DDPM
+
+    def _simple(**kw):
+        return DDPM(
+            backbone="UNet",  # the v1 simple UNet has no cond_mask hook
+            backbone_kwargs=dict(
+                input_channels=1, down_channels=(8, 16), up_channels=(16, 8),
+                dims=2,
+            ),
+            schedule=LinearSchedule(20, 2e-4, 1e-2),
+            optimizer="AdamW",
+            sampling_batch_size=2,
+            **kw,
+        )
+
+    with pytest.raises(ValueError, match=re.escape("cond_mask")):
+        _simple(cond_dropout=0.1)
+
+    pipe = _simple()
+    params = pipe.backbone.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 1)),
+        jnp.zeros((2,), jnp.int32),
+    )["params"]
+    with pytest.raises(ValueError, match=re.escape("cond_mask")):
+        pipe.reverse_process(
+            params, jax.random.PRNGKey(1), (2, 8, 8, 1),
+            conditions=jnp.zeros((2, 4)), guidance_scale=2.0,
+        )
+
+
 def test_guided_model_fn_closed_form(cond_batch):
     """guided == uncond + s*(cond - uncond), computed per-row via masks."""
     pipe = _pipe()

@@ -532,11 +532,17 @@ def test_serve_cli_end_to_end(tmp_path):
     cfg_path.write_text(json.dumps(config))
     repo = Path(__file__).resolve().parents[1]
     env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
-    proc = subprocess.Popen(
-        [sys.executable, str(repo / "scripts" / "serve.py"), str(cfg_path),
-         "-d", "cpu", "--port", "0", "--buckets", "1,2"],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
-    )
+    # stderr goes to a FILE, not a PIPE: nobody drains it while we block on
+    # the HTTP response, and XLA can emit tens of KB of warnings (observed:
+    # stale-AOT-cache machine-feature spam after a VM change) — enough to
+    # fill a 64 KB pipe and deadlock the server mid-request
+    err_path = tmp_path / "server_stderr.log"
+    with open(err_path, "w") as err_f:
+        proc = subprocess.Popen(
+            [sys.executable, str(repo / "scripts" / "serve.py"), str(cfg_path),
+             "-d", "cpu", "--port", "0", "--buckets", "1,2"],
+            stdout=subprocess.PIPE, stderr=err_f, text=True, env=env,
+        )
     try:
         # checkpoint-provenance messages precede the bind line
         for _ in range(20):
