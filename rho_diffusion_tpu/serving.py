@@ -16,8 +16,10 @@ dictated by XLA's compilation model:
   small-batch sampling, so occupancy = throughput.
 * **Request-deterministic noise** — both the initial latent x_T and the
   sampler's per-step noise stream are derived from (request seed, row
-  index): x_T host-side, step noise via per-row PRNG keys
-  (``diffusion.sampling_rng``, ``fold_in(row_key, t)``). Every sampler —
+  index) via per-row PRNG keys built INSIDE the compiled program
+  (``diffusion.sampling_rng``: ``keys_from_seeds``; x_T at tag T, step
+  noise ``fold_in(row_key, t)``). The host ships only integers — no
+  per-request device dispatches, no x_T megabytes over H2D. Every sampler —
   DDIM at any eta AND ancestral DDPM — returns bit-identical samples for a
   given (conditions, seed) regardless of which other requests it was
   batched with, how a large request was split, or which service instance
@@ -60,8 +62,7 @@ class _Chunk:
     """A request (or a split piece of one) awaiting a device launch."""
 
     conditions: Optional[np.ndarray]  # [n, cond_dim] or None
-    x_T: np.ndarray  # [n, *sample_shape[1:]]
-    seed: int  # request seed; row i's noise stream is (seed, offset + i)
+    seed: int  # request seed; row i's noise streams (x_T + steps) are (seed, offset + i)
     n: int
     enqueued_at: float
     assembly: "_Assembly"
@@ -194,7 +195,6 @@ class SamplingService:
         self.cond_dim = cond_dim
         self.buckets = tuple(int(b) for b in batch_buckets)
         self.max_delay_s = float(max_delay_s)
-        self._sample_shape1 = tuple(pipeline.sample_shape(1)[1:])
         self._compiled: dict[int, object] = {}
         self._queue: queue.Queue[Optional[_Chunk]] = queue.Queue()
         self._stats_lock = threading.Lock()
@@ -216,10 +216,9 @@ class SamplingService:
                 conds = (
                     np.zeros((b, cond_dim), np.float32) if cond_dim else None
                 )
-                x_T = np.zeros((b, *self._sample_shape1), np.float32)
                 seeds = np.zeros(b, np.uint32)
                 idxs = np.arange(b, dtype=np.int32)
-                jax.block_until_ready(fn(self.params, seeds, idxs, conds, x_T))
+                jax.block_until_ready(fn(self.params, seeds, idxs, conds))
         self._worker = threading.Thread(
             target=self._worker_loop, name="sampling-service", daemon=True,
         )
@@ -318,14 +317,13 @@ class SamplingService:
             raise ValueError(f"n must be >= 1, got {n}")
         future: Future = Future()
         assembly = _Assembly(n, future)
-        x_T = self._draw_x_T(seed, n)
-        # one noise stream per row, derived from (seed, row index) exactly
-        # like x_T — the sampler's ancestral/eta>0 noise is then also
-        # independent of micro-batch composition and service instance.
-        # The typed keys are built INSIDE the compiled sampler from these
-        # integers (keys_from_seeds): submit touches no jax at all, which
-        # matters through a remote-device tunnel (eager key construction
-        # measured ~0.2 s/request and throttled fast-sampler throughput)
+        # one noise stream per row (x_T AND step noise), derived from
+        # (seed, row index) INSIDE the compiled sampler from plain integers
+        # (keys_from_seeds): independent of micro-batch composition and
+        # service instance, and submit touches no jax and ships no x_T
+        # bytes — both measured to throttle fast-sampler serving through a
+        # remote-device tunnel (~0.2 s/request of eager key dispatches;
+        # 1-8.4 MB of H2D per launch)
         now = time.perf_counter()
         max_bucket = self.buckets[-1]
         # closed-check and enqueue under one lock so a concurrent close()
@@ -346,7 +344,6 @@ class SamplingService:
                             if conditions is not None
                             else None
                         ),
-                        x_T=x_T[off : off + m],
                         seed=seed,
                         n=m,
                         enqueued_at=now,
@@ -438,16 +435,6 @@ class SamplingService:
         self.close()
 
     # -- internals -----------------------------------------------------
-    def _draw_x_T(self, seed: int, n: int) -> np.ndarray:
-        """Host-side initial latents, deterministic per (seed, row index) so
-        splitting/batching never changes a request's noise."""
-        rows = [
-            np.random.default_rng(
-                np.random.SeedSequence([int(seed) & 0xFFFFFFFF, i]),
-            ).standard_normal(self._sample_shape1, dtype=np.float32)
-            for i in range(n)
-        ]
-        return np.stack(rows)
 
     def _get_compiled(self, bucket: int):
         fn = self._compiled.get(bucket)
@@ -463,20 +450,20 @@ class SamplingService:
             sampler, eta, num_steps = self.sampler, self.eta, self.num_steps
             guidance = self.guidance_scale
 
-            def raw(params, seeds, idxs, conds, x_T):
+            def raw(params, seeds, idxs, conds):
                 return pipeline.reverse_process(
                     params, keys_from_seeds(seeds, idxs), shape, conds,
                     sampler=sampler, eta=eta, num_steps=num_steps,
                     guidance_scale=guidance,
-                    x_T=x_T, t_checkpoints=(),
+                    t_checkpoints=(),
                 )
 
         else:  # DDPM pipeline: ancestral only, like the reference
             guidance = self.guidance_scale
 
-            def raw(params, seeds, idxs, conds, x_T):
+            def raw(params, seeds, idxs, conds):
                 return pipeline.reverse_process(
-                    params, keys_from_seeds(seeds, idxs), shape, conds, x_T=x_T,
+                    params, keys_from_seeds(seeds, idxs), shape, conds,
                     guidance_scale=guidance,
                 )["denoised"]
 
@@ -498,9 +485,9 @@ class SamplingService:
             spatial = mesh.shape.get(CONTEXT_AXIS, 1) > 1
             inner = raw
 
-            def raw(params, seeds, idxs, conds, x_T):  # noqa: F811 - mesh wrapper
+            def raw(params, seeds, idxs, conds):  # noqa: F811 - mesh wrapper
                 with active_mesh(mesh):
-                    return inner(params, seeds, idxs, conds, x_T)
+                    return inner(params, seeds, idxs, conds)
 
             x_sh = batch_sharding(mesh, spatial=spatial)
             c_sh = batch_sharding(mesh)
@@ -510,7 +497,7 @@ class SamplingService:
             fn = jax.jit(
                 raw,
                 in_shardings=(
-                    rsh, c_sh, c_sh, c_sh if self.cond_dim else None, x_sh,
+                    rsh, c_sh, c_sh, c_sh if self.cond_dim else None,
                 ),
                 out_shardings=x_sh,
             )
@@ -530,14 +517,10 @@ class SamplingService:
         bucket = self._pick_bucket(total)
         try:
             pad = bucket - total
-            x_T = np.concatenate([c.x_T for c in chunks], axis=0)
-            if pad:
-                x_T = np.concatenate(
-                    [x_T, np.zeros((pad, *x_T.shape[1:]), x_T.dtype)], axis=0,
-                )
             # per-row noise identities as PLAIN integer arrays; the compiled
-            # sampler turns them into typed keys (keys_from_seeds) on device.
-            # Pad rows reuse (seed 0, row 0..) and are discarded below.
+            # sampler turns them into typed keys (keys_from_seeds) on device
+            # and draws x_T from them too. Pad rows reuse (seed 0, row 0..)
+            # and are discarded below.
             seeds = np.concatenate(
                 [np.full(c.n, c.seed & 0xFFFFFFFF, np.uint32) for c in chunks]
                 + ([np.zeros(pad, np.uint32)] if pad else []),
@@ -558,7 +541,7 @@ class SamplingService:
                         axis=0,
                     )
             fn = self._get_compiled(bucket)
-            out = np.asarray(fn(self.params, seeds, idxs, conds, x_T))
+            out = np.asarray(fn(self.params, seeds, idxs, conds))
         except Exception as exc:
             # device failures AND batch-assembly bugs both resolve the
             # futures; the worker thread itself must never die (that would
