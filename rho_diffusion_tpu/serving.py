@@ -138,6 +138,17 @@ class SamplingService:
         are servable. Every bucket must be divisible by the data axis
         size. This is the pod-slice serving shape: one service per host,
         N chips per launch.
+    transfer_dtype:
+        Optional narrow dtype ("bfloat16" / "float16") the compiled
+        sampler casts its OUTPUT to before the device→host pull; the host
+        widens back to float32 after the transfer, so callers always see
+        float32 samples. Halves the D2H bytes per launch — measured to
+        matter when the device link is slow relative to the sampler (the
+        64^3 b8 launch pulls 8.4 MB of f32 volumes at ~60 ms/MB through a
+        remote-device tunnel, ~0.4 s of the ~3.3 s launch). Costs one
+        rounding step on the final denoised sample only (the sampler's
+        internal state stays at full precision); None (default) transfers
+        float32 exactly.
     """
 
     def __init__(
@@ -154,8 +165,18 @@ class SamplingService:
         max_delay_s: float = 0.002,
         warmup: bool = False,
         mesh=None,
+        transfer_dtype: Optional[str] = None,
     ) -> None:
         import jax
+
+        if transfer_dtype is not None:
+            if str(transfer_dtype) not in ("bfloat16", "float16"):
+                raise ValueError(
+                    f"transfer_dtype must be 'bfloat16' or 'float16' (or "
+                    f"None for exact float32 transfers), got {transfer_dtype!r}",
+                )
+            transfer_dtype = str(transfer_dtype)
+        self.transfer_dtype = transfer_dtype
 
         if not batch_buckets or list(batch_buckets) != sorted(set(batch_buckets)):
             raise ValueError(
@@ -467,6 +488,16 @@ class SamplingService:
                     guidance_scale=guidance,
                 )["denoised"]
 
+        if self.transfer_dtype is not None:
+            # narrow ONLY the final pulled array inside the compiled
+            # program; all sampler-internal math stays full precision
+            import jax.numpy as jnp
+
+            narrow, inner_raw = jnp.dtype(self.transfer_dtype), raw
+
+            def raw(params, seeds, idxs, conds):  # noqa: F811 - output cast
+                return inner_raw(params, seeds, idxs, conds).astype(narrow)
+
         if self.mesh is not None:
             # pod-slice SPMD: the bucket batch shards over the mesh's data
             # axis (params/rng replicated) and, when the mesh has a
@@ -542,6 +573,10 @@ class SamplingService:
                     )
             fn = self._get_compiled(bucket)
             out = np.asarray(fn(self.params, seeds, idxs, conds))
+            if out.dtype != np.float32:
+                # widen the narrowed transfer (bf16/f16 over the wire)
+                # back to the float32 the public API promises
+                out = out.astype(np.float32)
         except Exception as exc:
             # device failures AND batch-assembly bugs both resolve the
             # futures; the worker thread itself must never die (that would

@@ -49,6 +49,11 @@ def main() -> None:
         help="compile every bucket before accepting requests",
     )
     parser.add_argument(
+        "--transfer-dtype", default=None, choices=["bfloat16", "float16"],
+        help="narrow the device->host sample transfer (host widens back to "
+             "float32); halves D2H bytes per launch on slow links",
+    )
+    parser.add_argument(
         "--data-parallel", type=int, default=0, metavar="N",
         help="shard every launch over an N-chip data-parallel mesh "
              "(buckets must be divisible by N)",
@@ -87,6 +92,8 @@ def main() -> None:
     if args.cond_dim is not None:
         kwargs["cond_dim"] = args.cond_dim
     kwargs["warmup"] = args.warmup
+    if args.transfer_dtype:
+        kwargs["transfer_dtype"] = args.transfer_dtype
     if args.data_parallel or args.context_parallel > 1:
         from rho_diffusion_tpu.parallel.mesh import make_mesh
 

@@ -163,6 +163,37 @@ def test_conditional_service_and_validation():
             service.submit(n=2)  # conditional service needs rows
 
 
+def test_transfer_dtype_narrows_pull_widens_on_host():
+    """transfer_dtype=bfloat16 rounds ONLY the final pulled sample (the
+    sampler's internal math stays f32): callers still get float32 arrays,
+    within one bf16 ulp of the exact-transfer service."""
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        model_var_type="fixed_large",
+        optimizer="AdamW",
+    )
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    with SamplingService(
+        pipe, params, sampler="ddim", num_steps=4,
+        batch_buckets=(2,), max_delay_s=0.0,
+    ) as exact:
+        ref = exact.generate(n=2, seed=5).samples
+    with SamplingService(
+        pipe, params, sampler="ddim", num_steps=4,
+        batch_buckets=(2,), max_delay_s=0.0, transfer_dtype="bfloat16",
+    ) as narrowed:
+        out = narrowed.generate(n=2, seed=5).samples
+    assert out.dtype == np.float32  # widened back after the transfer
+    assert np.isfinite(out).all()
+    # bf16 keeps 8 mantissa bits: relative error <= 2^-8 of the magnitude
+    np.testing.assert_allclose(out, ref, atol=2 ** -8 * np.abs(ref).max())
+    with pytest.raises(ValueError):
+        SamplingService(pipe, params, transfer_dtype="int8")
+
+
 def test_ddpm_pipeline_service():
     """The ancestral DDPM pipeline (reference ddpm.py:132-229) serves too."""
     pipe = DDPM(
