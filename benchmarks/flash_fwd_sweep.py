@@ -53,9 +53,15 @@ def main():
         v = jax.random.normal(kv, (B, t, H, D), jnp.bfloat16)
         base = timeit(xla_attention, q, k, v)
         print(f"T={t}: xla {base*1e3:7.3f} ms", flush=True)
+        # auto = None blocks: single-k-block one-shot-softmax kernel when
+        # K/V <= 2048, and no lse write on this fwd-only path
+        auto = timeit(flash_attention, q, k, v)
+        print(f"  flash auto        : {auto*1e3:7.3f} ms ({base/auto:4.2f}x xla)",
+              flush=True)
         combos = {(512, 512), (1024, 1024), (256, 1024), (1024, 256),
                   (min(t, 2048), 256), (256, min(t, 2048)), (t, t),
-                  (512, 2048), (2048, 512)}
+                  (512, 2048), (2048, 512), (256, min(t, 4096)),
+                  (128, min(t, 4096))}
         ok = [
             c for c in combos
             if c[0] <= t and c[1] <= t

@@ -56,7 +56,14 @@ def _pick_block(t: int, preferred: int) -> int:
 # Forward
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr, *, scale, kv_len, block_k):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, block_k, with_lse):
+    # the log-sum-exp residual is only needed when the call will be
+    # differentiated; the inference/sampling path (with_lse=False) skips the
+    # [Bq, 128] f32 lse write — 4x the bytes of the bf16 [Bq, D=64] output
+    if with_lse:
+        lse_ref, acc, m_scr, l_scr = rest
+    else:
+        acc, m_scr, l_scr = rest
     j = pl.program_id(2)
     num_k = pl.num_programs(2)
 
@@ -97,47 +104,102 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr, *, scale
     def _finish():
         l = l_scr[:, 0:1]
         o_ref[0] = (acc[:] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-        # lse replicated across a 128-lane axis to satisfy TPU tiling
+        if with_lse:
+            # lse replicated across a 128-lane axis to satisfy TPU tiling
+            lse_ref[0] = jnp.broadcast_to(
+                m_scr[:, 0:1] + jnp.log(jnp.maximum(l, 1e-30)),
+                lse_ref[0].shape,
+            )
+
+
+def _fwd_kernel_onepass(q_ref, k_ref, v_ref, o_ref, *rest, scale, kv_len, with_lse):
+    """Whole K/V in ONE block (the common case at the UNet's coarse-grid
+    token counts, 512-2048): plain one-shot softmax — no VMEM scratch, no
+    running-max/normaliser rescaling, no revisited output block."""
+    q = q_ref[0]  # [Bq, D]
+    s = jax.lax.dot_general(
+        q, k_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [Bq, Bk] f32
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if with_lse:
+        (lse_ref,) = rest
         lse_ref[0] = jnp.broadcast_to(
-            m_scr[:, 0:1] + jnp.log(jnp.maximum(l, 1e-30)), lse_ref[0].shape,
+            m + jnp.log(jnp.maximum(l, 1e-30)), lse_ref[0].shape,
         )
 
 
-def _flash_forward(q, k, v, true_kv_len, block_q, block_k, interpret=False):
-    """q, k, v: [BH, T, D] (padded so T % block == 0). Returns (o, lse).
+def _flash_forward(q, k, v, true_kv_len, block_q, block_k, interpret=False,
+                   with_lse=True):
+    """q, k, v: [BH, T, D] (padded so T % block == 0). Returns (o, lse) —
+    lse is None when ``with_lse`` is False (forward-only callers).
     ``true_kv_len`` is the pre-padding K/V length used for masking."""
     bh, t, d = q.shape
     kv_len = k.shape[1]
     scale = 1.0 / math.sqrt(d)
-    grid = (bh, t // block_q, kv_len // block_k)
 
-    out_shape = [
-        jax.ShapeDtypeStruct((bh, t, d), q.dtype),
-        jax.ShapeDtypeStruct((bh, t, 128), jnp.float32),
-    ]
-    o, lse = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel, scale=scale, kv_len=true_kv_len, block_k=block_k,
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
-        ],
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
-        interpret=interpret,
-    )(q, k, v)
-    return o, lse
+    out_shape = [jax.ShapeDtypeStruct((bh, t, d), q.dtype)]
+    if with_lse:
+        out_shape.append(jax.ShapeDtypeStruct((bh, t, 128), jnp.float32))
+
+    if kv_len // block_k == 1:
+        # single-k-block specialisation: one-shot softmax kernel
+        outs = pl.pallas_call(
+            functools.partial(
+                _fwd_kernel_onepass, scale=scale, kv_len=true_kv_len,
+                with_lse=with_lse,
+            ),
+            grid=(bh, t // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i: (b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, i: (b, i, 0)),
+            ][: len(out_shape)],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(q, k, v)
+    else:
+        outs = pl.pallas_call(
+            functools.partial(
+                _fwd_kernel, scale=scale, kv_len=true_kv_len, block_k=block_k,
+                with_lse=with_lse,
+            ),
+            grid=(bh, t // block_q, kv_len // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128), lambda b, i, j: (b, i, 0)),
+            ][: len(out_shape)],
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(q, k, v)
+    if with_lse:
+        return outs[0], outs[1]
+    return outs[0], None
 
 
 # ---------------------------------------------------------------------------
@@ -311,17 +373,21 @@ def _pad_tokens(x, block):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_mha(q, k, v, block_q, block_k, interpret):
-    o, _ = _flash_fwd_padded(q, k, v, block_q, block_k, interpret)
+    # primal (not-being-differentiated) path: sampling/inference — skip the
+    # lse residual entirely (the fwd rule below recomputes with it)
+    o, _ = _flash_fwd_padded(q, k, v, block_q, block_k, interpret,
+                             with_lse=False)
     return o
 
 
-def _flash_fwd_padded(q, k, v, block_q, block_k, interpret):
+def _flash_fwd_padded(q, k, v, block_q, block_k, interpret, with_lse=True):
     t = q.shape[1]
     kv_len = k.shape[1]
     qp = _pad_tokens(q, block_q)
     kp = _pad_tokens(k, block_k)
     vp = _pad_tokens(v, block_k)
-    o, lse = _flash_forward(qp, kp, vp, kv_len, block_q, block_k, interpret)
+    o, lse = _flash_forward(qp, kp, vp, kv_len, block_q, block_k, interpret,
+                            with_lse=with_lse)
     return o[:, :t], (qp, kp, vp, o, lse, t, kv_len)
 
 
@@ -346,22 +412,34 @@ def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Multi-head flash attention. q, k, v: [B, T, H, D] -> [B, T, H, D].
 
     Numerically equivalent to ``ops.attention.xla_attention`` (scores/softmax
-    in f32); memory O(T*D) instead of O(T^2)."""
+    in f32); memory O(T*D) instead of O(T^2). With default (None) blocks,
+    short-enough K/V is taken as ONE block so the one-shot-softmax kernel
+    runs (no online rescaling); explicit blocks are honoured as given."""
     b, t, h, d = q.shape
     kv_t = k.shape[1]
 
     def fold(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
-    block_q = _pick_block(t + (-t) % 128, block_q)
-    block_k = _pick_block(kv_t + (-kv_t) % 128, block_k)
+    padded_t = t + (-t) % 128
+    padded_kv = kv_t + (-kv_t) % 128
+    if block_k is None:
+        # whole-K/V block when it fits: scores stay <= 4 MB f32 via block_q
+        block_k = padded_kv if padded_kv <= 2048 else DEFAULT_BLOCK_K
+    if block_q is None:
+        budget = (4 * 1024 * 1024) // (4 * block_k)  # rows of f32 scores
+        block_q = min(
+            DEFAULT_BLOCK_Q, max(128, 1 << (budget.bit_length() - 1)),
+        )
+    block_q = _pick_block(padded_t, block_q)
+    block_k = _pick_block(padded_kv, block_k)
     # true kv_len must be known to mask padding; handled inside the kernels
     o = _flash_mha(fold(q), fold(k), fold(v), block_q, block_k, interpret)
     return o.reshape(b, h, t, d).transpose(0, 2, 1, 3)

@@ -14,6 +14,12 @@ dictated by XLA's compilation model:
 * **Micro-batching** — a worker thread coalesces concurrent requests into
   one device program launch; under jit the per-launch overhead dominates
   small-batch sampling, so occupancy = throughput.
+* **Pipelined pulls** — jax dispatch is async, so the worker hands each
+  launch's unmaterialised device array to a pull thread and immediately
+  coalesces/dispatches the next launch: the device→host sample transfer
+  (the blocking ``np.asarray``) overlaps the next launch's compute. Depth
+  capped at 2 in-flight launches. ``transfer_dtype`` further narrows the
+  transferred bytes.
 * **Request-deterministic noise** — both the initial latent x_T and the
   sampler's per-step noise stream are derived from (request seed, row
   index) via per-row PRNG keys built INSIDE the compiled program
@@ -228,6 +234,11 @@ class SamplingService:
         }
         self._closed = False
         self._lifecycle_lock = threading.Lock()
+        # device->host pulls happen on a separate thread so the worker can
+        # dispatch launch N+1 while launch N's samples stream back (jax
+        # dispatch is async; np.asarray is the blocking pull). Queue depth
+        # bounds in-flight launches (device memory) to 2.
+        self._pull_queue: queue.Queue = queue.Queue(maxsize=2)
         if warmup:
             # compile AND execute each bucket synchronously so a broken
             # sampler (shape error, OOM, missing conditioning) fails the
@@ -244,6 +255,10 @@ class SamplingService:
             target=self._worker_loop, name="sampling-service", daemon=True,
         )
         self._worker.start()
+        self._puller = threading.Thread(
+            target=self._pull_loop, name="sampling-service-pull", daemon=True,
+        )
+        self._puller.start()
 
     # -- construction helpers -----------------------------------------
     @classmethod
@@ -448,6 +463,7 @@ class SamplingService:
             self._closed = True
             self._queue.put(None)
         self._worker.join(timeout=30)
+        self._puller.join(timeout=30)
 
     def __enter__(self) -> "SamplingService":
         return self
@@ -572,36 +588,66 @@ class SamplingService:
                         axis=0,
                     )
             fn = self._get_compiled(bucket)
-            out = np.asarray(fn(self.params, seeds, idxs, conds))
+            # async dispatch: returns an unmaterialised device array; the
+            # pull thread blocks on the actual D2H transfer so this worker
+            # can coalesce + dispatch the NEXT launch meanwhile
+            dev_out = fn(self.params, seeds, idxs, conds)
+        except Exception as exc:
+            # compile/tracing/assembly failures resolve the futures; the
+            # worker thread itself must never die (that would strand every
+            # later request)
+            for c in chunks:
+                c.assembly.fail(exc)
+            return
+        self._pull_queue.put((dev_out, chunks, bucket, total / bucket))
+
+    def _deliver(self, dev_out, chunks, bucket, occupancy) -> None:
+        try:
+            out = np.asarray(dev_out)
             if out.dtype != np.float32:
                 # widen the narrowed transfer (bf16/f16 over the wire)
                 # back to the float32 the public API promises
                 out = out.astype(np.float32)
         except Exception as exc:
-            # device failures AND batch-assembly bugs both resolve the
-            # futures; the worker thread itself must never die (that would
-            # strand every later request)
+            # device-side failures surface at the pull
             for c in chunks:
                 c.assembly.fail(exc)
             return
-        occupancy = total / bucket
-        off = 0
         now = time.perf_counter()
+        # stats BEFORE resolving futures: a caller unblocked by its result
+        # must see this launch already counted in stats()
+        with self._stats_lock:
+            self._stats["launches"] += 1
+            self._stats["occupancy_sum"] += occupancy
+            for c in chunks:
+                self._stats["latencies_s"].append(now - c.enqueued_at)
+            # bound the latency reservoir for long-lived services
+            if len(self._stats["latencies_s"]) > 10_000:
+                self._stats["latencies_s"] = self._stats["latencies_s"][-5_000:]
+        off = 0
         for c in chunks:
             c.assembly.deliver(
                 c.offset, out[off : off + c.n], bucket, occupancy, c.enqueued_at,
             )
             off += c.n
-            with self._stats_lock:
-                self._stats["latencies_s"].append(now - c.enqueued_at)
-                # bound the latency reservoir for long-lived services
-                if len(self._stats["latencies_s"]) > 10_000:
-                    self._stats["latencies_s"] = self._stats["latencies_s"][-5_000:]
-        with self._stats_lock:
-            self._stats["launches"] += 1
-            self._stats["occupancy_sum"] += occupancy
+
+    def _pull_loop(self) -> None:
+        while True:
+            item = self._pull_queue.get()
+            if item is None:
+                return
+            self._deliver(*item)
 
     def _worker_loop(self) -> None:
+        try:
+            self._worker_loop_inner()
+        finally:
+            # the worker is the only producer of pulls, so its exit sentinel
+            # lands strictly after every dispatched launch (FIFO): the pull
+            # thread drains all in-flight results before stopping
+            self._pull_queue.put(None)
+
+    def _worker_loop_inner(self) -> None:
         max_bucket = self.buckets[-1]
         while True:
             chunk = self._queue.get()

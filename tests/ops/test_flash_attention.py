@@ -11,21 +11,24 @@ from rho_diffusion_tpu.ops.pallas.flash_attention import flash_attention
 
 
 @pytest.mark.parametrize("shape", [(2, 256, 2, 64), (1, 300, 4, 32)])
-def test_flash_matches_xla_forward(shape):
-    """Includes a non-divisible T=300 (pad + mask path)."""
+@pytest.mark.parametrize("block_k", [128, None])
+def test_flash_matches_xla_forward(shape, block_k):
+    """Includes a non-divisible T=300 (pad + mask path). block_k=None takes
+    the auto single-k-block (one-shot softmax) kernel; 128 the online one."""
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
     q, k, v = (jax.random.normal(kk, shape) for kk in keys)
     ref = xla_attention(q, k, v)
-    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    out = flash_attention(q, k, v, block_q=128, block_k=block_k, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_flash_gradients_match_xla():
+@pytest.mark.parametrize("block_k", [128, None])
+def test_flash_gradients_match_xla(block_k):
     keys = jax.random.split(jax.random.PRNGKey(1), 3)
     q, k, v = (jax.random.normal(kk, (1, 256, 2, 32)) for kk in keys)
 
     def loss_flash(q, k, v):
-        return jnp.sum(jnp.sin(flash_attention(q, k, v, 128, 128, True)))
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, 128, block_k, True)))
 
     def loss_ref(q, k, v):
         return jnp.sum(jnp.sin(xla_attention(q, k, v)))
