@@ -595,6 +595,39 @@ def test_serve_cli_end_to_end(tmp_path):
         proc.wait(timeout=30)
 
 
+def test_device_failure_at_pull_fails_futures_not_service():
+    """With pipelined pulls, a device-side error surfaces at the blocking
+    np.asarray in the pull thread (jax dispatch is async). The failing
+    launch's futures must carry the exception, and BOTH worker and pull
+    threads must survive to serve later requests."""
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        model_var_type="fixed_large",
+        optimizer="AdamW",
+    )
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    service = SamplingService(pipe, params, batch_buckets=(1,), max_delay_s=0.0)
+    try:
+        service.generate(n=1, seed=0)  # compile bucket 1
+        real_fn = service._compiled[1]
+
+        class _ExplodesOnPull:
+            def __array__(self, *a, **k):
+                raise RuntimeError("simulated device failure")
+
+        service._compiled[1] = lambda *a, **k: _ExplodesOnPull()
+        with pytest.raises(RuntimeError, match="simulated device failure"):
+            service.submit(n=1, seed=1).result(timeout=120)
+        service._compiled[1] = real_fn
+        ok = service.generate(n=1, seed=2)  # service still alive
+        assert np.isfinite(ok.samples).all()
+    finally:
+        service.close()
+
+
 def test_close_fails_pending_requests():
     pipe = GaussianDiffusionPipeline(
         backbone="UNetv2",
