@@ -184,6 +184,50 @@ def test_loggers_pluggable(tmp_path):
     assert len(csv_text) >= 2
 
 
+def test_sharded_checkpoint_roundtrip_tp_zero1(tmp_path):
+    """Production resume under SPMD: a TrainState whose params are
+    tensor-parallel-sharded and whose optimizer moments are ZeRO-1-sharded
+    must checkpoint and restore WITH its shardings intact (orbax restores
+    into the template's shardings), then keep training. The reference had
+    nothing to test here — its checkpoints were single-device state_dicts."""
+    import jax
+
+    config = _config(
+        tmp_path, mesh={"data": 4, "context": 2},
+        tensor_parallel=True, tp_min_dim=16, zero1=True,
+        save_checkpoint_every_n_epochs=1,
+    )
+    trainer = Trainer(config, dataset=ToyDataset(), work_dir=tmp_path)
+    state = trainer.fit(max_epochs=1)
+    assert trainer.checkpoints.latest_step() == int(state.step)
+
+    trainer2 = Trainer(config, dataset=ToyDataset(), work_dir=tmp_path)
+    resumed = trainer2.init_state(resume=True)
+    assert int(resumed.step) == int(state.step)
+    np.testing.assert_array_equal(
+        np.asarray(jtu_first(resumed.params)), np.asarray(jtu_first(state.params)),
+    )
+
+    def _leaves_on_axis(tree, axis):
+        return [
+            l for l in jax.tree_util.tree_leaves(tree)
+            if axis in (getattr(getattr(l, "sharding", None), "spec", None) or ())
+        ]
+
+    # the restore template re-applies the CANONICAL layout (the live state's
+    # specs may differ: GSPMD propagates ZeRO-1's data-sharded updates onto
+    # the jitted step's unconstrained param outputs) — what must hold is
+    # that the resumed state is sharded, not host-replicated:
+    assert _leaves_on_axis(resumed.opt_state, "data"), "zero1 moments lost their sharding"
+    tp_axes = {"context", "data"}
+    assert any(
+        _leaves_on_axis(resumed.params, ax) for ax in tp_axes
+    ), "tensor-parallel params lost their sharding"
+
+    state2 = trainer2.fit(resumed, max_epochs=1)  # training continues sharded
+    assert int(state2.step) == int(state.step) + 2
+
+
 def test_preemption_checkpoints_and_exits(tmp_path):
     """SIGTERM mid-training must checkpoint the full state and return
     cleanly (checkpoint-on-signal; neither reference nor round 1 had it)."""
