@@ -197,28 +197,49 @@ def main() -> None:
         num_classes = 20
     else:
         num_classes = 20
-    backbone_kwargs = dict(
-        data_shape=(grid,) * dims,
-        dims=dims,
-        in_channels=1,
-        out_channels=1,
-        model_channels=mc,
-        num_res_blocks=2,
-        channel_mult=(1, 2) if smoke else (1, 2, 4, 8),
-        attention_resolutions=[16, 8],
-        num_heads=4,
-        num_classes=num_classes,
-        use_scale_shift_norm=True,
-        use_checkpoint=remat,
-        dtype=dtype,
-    )
+    model = os.environ.get("BENCH_MODEL", "unet")  # unet | vit
+    if model == "vit":
+        # the reference's third backbone family (vit.py:188-372, shipped
+        # with skipped tests); transformer over patch tokens — measured
+        # here so every model family has a number
+        backbone_kwargs = dict(
+            patch_size=4 if smoke else 8,
+            input_shapes=(grid,) * dims,
+            num_channels=1,
+            embedding_dim=64 if smoke else 256,
+            hidden_dim=128 if smoke else 512,
+            transformer_depth=2 if smoke else 8,
+            num_heads=4 if smoke else 16,
+            dropout=0.0,
+            dtype=dtype,
+        )
+        backbone_name = "VisionTransformer"
+    else:
+        backbone_kwargs = dict(
+            data_shape=(grid,) * dims,
+            dims=dims,
+            in_channels=1,
+            out_channels=1,
+            model_channels=mc,
+            num_res_blocks=2,
+            channel_mult=(1, 2) if smoke else (1, 2, 4, 8),
+            attention_resolutions=[16, 8],
+            num_heads=4,
+            num_classes=num_classes,
+            use_scale_shift_norm=True,
+            use_checkpoint=remat,
+            dtype=dtype,
+        )
+        backbone_name = "UNetv2"
 
     if mode == "sample":
+        if model != "unet":
+            raise SystemExit("BENCH_MODE=sample supports BENCH_MODEL=unet only")
         _bench_sampling(backbone_kwargs, batch, grid, mc, dtype_name, smoke)
         return
 
     pipe = DDPM(
-        backbone="UNetv2",
+        backbone=backbone_name,
         backbone_kwargs=backbone_kwargs,
         schedule=LinearSchedule(500 if dims == 2 else 1000),
         optimizer="AdamW",
@@ -312,7 +333,7 @@ def main() -> None:
     loss = float(metrics["train_loss"])
 
     metric = (
-        f"train_steps_per_sec_per_chip_{dims}d_unet_{_grid_name(grid, dims)}_b{batch}"
+        f"train_steps_per_sec_per_chip_{dims}d_{model}_{_grid_name(grid, dims)}_b{batch}"
         if not smoke
         else "train_steps_per_sec_per_chip_smoke"
     )

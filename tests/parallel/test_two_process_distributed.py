@@ -68,13 +68,19 @@ def _spawn_workers() -> tuple[list[subprocess.Popen], list[str]]:
 @pytest.mark.slow
 def test_two_process_training_matches_single_process():
     procs, outs = _spawn_workers()
-    if any(p.returncode != 0 for p in procs) and any(
-        "BarrierError" in o or "DEADLINE_EXCEEDED" in o for o in outs
-    ):
-        # coordination-service barrier timeout: one worker got starved of
-        # the single CPU core past the runtime's heartbeat deadline (seen
+    flake_markers = (
+        "BarrierError", "DEADLINE_EXCEEDED", "heartbeat", "Heartbeat",
+        "UNAVAILABLE", "coordination service",
+    )
+    for _ in range(2):
+        if all(p.returncode == 0 for p in procs):
+            break
+        if not any(m in o for o in outs for m in flake_markers):
+            break
+        # coordination-service barrier/heartbeat timeout: one worker got
+        # starved of the single CPU core past the runtime's deadline (seen
         # when unrelated jobs compile concurrently). Infrastructure flake,
-        # not a framework property — retry once on a fresh port.
+        # not a framework property — retry on a fresh port.
         procs, outs = _spawn_workers()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
