@@ -98,21 +98,30 @@ real = np.stack([
 w = WassersteinWrapper()
 
 
-def run(sampler: str, num_steps: int) -> dict:
-    fn = jax.jit(lambda p, r, c: sampler_pipe.reverse_process(
-        p, r, sampler_pipe.sample_shape(BATCH), c,
-        sampler=sampler, num_steps=num_steps,
-    ))
-    samples = np.asarray(fn(params, jax.random.PRNGKey(5), conds))  # compile
-    t0 = time.perf_counter()
-    samples = np.asarray(fn(params, jax.random.PRNGKey(5), conds))
-    wall = time.perf_counter() - t0
+def run(sampler: str, num_steps: int, quant: str | None = None) -> dict:
+    """One sampler config; quant='int8' traces the same checkpoint through
+    the W8A8 conv path (ops/quant.py) — quality cost of quantized serving."""
+    from contextlib import nullcontext
+
+    from rho_diffusion_tpu.ops.quant import conv_quant
+
+    with conv_quant(quant) if quant else nullcontext():
+        fn = jax.jit(lambda p, r, c: sampler_pipe.reverse_process(
+            p, r, sampler_pipe.sample_shape(BATCH), c,
+            sampler=sampler, num_steps=num_steps,
+        ))
+        samples = np.asarray(fn(params, jax.random.PRNGKey(5), conds))  # compile
+        t0 = time.perf_counter()
+        samples = np.asarray(fn(params, jax.random.PRNGKey(5), conds))
+        wall = time.perf_counter() - t0
     div = float(np.mean(np.asarray(w(jnp.asarray(samples), jnp.asarray(real)))))
     row = {
         "sampler": sampler, "steps": num_steps,
         "wall_s": round(wall, 3), "sinkhorn_vs_real": round(div, 2),
         "finite": bool(np.isfinite(samples).all()),
     }
+    if quant:
+        row["quant"] = quant
     print(row, flush=True)
     return row
 
@@ -126,6 +135,8 @@ rows = [
     run("ddim", 50),
     run("ddim", 100),
     run("ddpm", 1000),
+    run("dpm++", 10, quant="int8"),
+    run("ddim", 50, quant="int8"),
 ]
 noise_div = float(np.mean(np.asarray(w(
     jax.random.normal(jax.random.PRNGKey(0), real.shape), jnp.asarray(real),

@@ -78,9 +78,12 @@ def main() -> None:
     guidance = float(_g) if _g is not None else None
     # narrow the D2H sample pull (bf16 halves the 8.4 MB/launch at 64^3)
     transfer_dtype = os.environ.get("SERVE_TRANSFER_DTYPE") or None
+    # SERVE_QUANT=int8: W8A8 convs on the int8 MXU (ops/quant.py)
+    quantize = os.environ.get("SERVE_QUANT") or None
     service = SamplingService(
         pipe, params, sampler=sampler, num_steps=steps, cond_dim=cond_dim,
         guidance_scale=guidance, transfer_dtype=transfer_dtype,
+        quantize=quantize,
         batch_buckets=buckets, max_delay_s=delay, warmup=True,
     )
     compile_s = time.perf_counter() - t0

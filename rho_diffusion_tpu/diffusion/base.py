@@ -294,6 +294,16 @@ class AbstractDiffusionPipeline:
         XLA program. Under a sharded-input jit this compiles to SPMD with
         gradient all-reduce on ICI — no DDP wrapper (cf. reference
         xpu.py:290-422)."""
+        from rho_diffusion_tpu.ops.quant import get_conv_quant
+
+        if get_conv_quant() != "off":
+            raise RuntimeError(
+                "conv quantization is active (ops/quant.py) but training was "
+                "requested: round() has zero gradient, so a quantized train "
+                "step would silently learn nothing. Quantization is an "
+                "inference-only execution mode — call set_conv_quant('off') "
+                "before training.",
+            )
 
         accum = self.grad_accum
 

@@ -98,6 +98,16 @@ def conv_nd(
         padding = (kernel_size - 1) // 2
     if isinstance(padding, int):
         padding = [(padding, padding)] * dims
+    from rho_diffusion_tpu.ops.quant import ConvInt8, get_conv_quant
+
+    if get_conv_quant() == "int8":
+        # W8A8 inference on the int8 MXU (2x bf16 peak; ops/quant.py).
+        # Same param layout as nn.Conv — checkpoints load unchanged.
+        return ConvInt8(
+            features=features, kernel_size=(kernel_size,) * dims,
+            strides=tuple(stride), padding=padding, zero_init=zero_init,
+            dtype=dtype, name=name,
+        )
     kwargs = {}
     if zero_init:
         kwargs["kernel_init"] = nn.initializers.zeros

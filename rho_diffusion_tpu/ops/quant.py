@@ -1,0 +1,140 @@
+"""int8 inference quantization for the conv stack.
+
+The v5e MXU runs int8 x int8 -> int32 at 394.7 TOPS — 2x the bf16 peak —
+and XLA lowers integer ``conv_general_dilated`` straight onto it: measured
+1.34-1.70x the bf16 convs at the flagship UNet shapes
+(benchmarks/conv_int8_probe.py). Sampling is ~83% forward-conv time
+(RESULTS.md roofline table), so quantized inference is a direct
+serving-throughput lever the reference (fp32 torch,
+/root/reference/rho_diffusion/models/unet_v2.py) has no counterpart for.
+
+Scheme — symmetric, weight-per-output-channel, activation-per-tensor
+(the standard W8A8 recipe; per-channel weight scales absorb the large
+inter-filter magnitude spread, the dynamic per-tensor activation scale
+follows the step-dependent activation range of diffusion sampling):
+
+    s_w[c] = max|W[..., c]| / 127     (loop-invariant — XLA hoists the
+                                       weight quantization out of the
+                                       scan-over-steps samplers)
+    s_x    = max|x| / 127             (dynamic, one VPU reduce per conv)
+    y      = conv(q(x), q(W)) -> int32 on the int8 MXU
+    out    = y * (s_x * s_w) + bias   (dequant fused by XLA)
+
+Convs with fewer than ``MIN_QUANT_CHANNELS`` input or output channels run
+the normal float path: the UNet's 1-channel input conv and 1-channel
+output conv are quality-critical and FLOP-trivial (the usual
+first/last-layer exclusion).
+
+INFERENCE ONLY: round() has zero gradient everywhere, so the trainer
+refuses to build a train step while quantization is active
+(diffusion/base.py:make_train_step).
+
+Enable via ``set_conv_quant("int8")`` / the ``conv_quant`` context manager,
+env ``RHO_CONV_INT8=1``, ``scripts/inference.py --quant int8``, or
+``SamplingService(quantize="int8")``. The flag is read at TRACE time —
+set it before the first jit of the sampler.
+"""
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+MIN_QUANT_CHANNELS = 16
+
+_CONV_QUANT_MODE = "int8" if os.environ.get("RHO_CONV_INT8") == "1" else "off"
+
+
+def set_conv_quant(mode: str) -> None:
+    """Select conv quantization: "off" (default) or "int8" (W8A8 inference).
+
+    Takes effect at trace time: call before the sampler/service compiles.
+    """
+    global _CONV_QUANT_MODE
+    if mode not in ("off", "int8"):
+        raise ValueError(f"conv quant mode must be 'off' or 'int8', got {mode!r}")
+    _CONV_QUANT_MODE = mode
+
+
+def get_conv_quant() -> str:
+    return _CONV_QUANT_MODE
+
+
+@contextmanager
+def conv_quant(mode: str):
+    """Scoped ``set_conv_quant`` (for tests and one-off quantized traces)."""
+    prev = _CONV_QUANT_MODE
+    set_conv_quant(mode)
+    try:
+        yield
+    finally:
+        set_conv_quant(prev)
+
+
+def quantize_int8(w: jnp.ndarray, axes: tuple) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 quantization of ``w`` reducing |max| over ``axes``.
+
+    Returns (q, scale) with q int8 in [-127, 127] and w ~= q * scale.
+    """
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axes, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+class ConvInt8(nn.Module):
+    """n-D convolution evaluated on the int8 MXU path (W8A8).
+
+    Parameter layout is identical to ``flax.linen.Conv``
+    ([*kernel_size, Cin, Cout] 'kernel' + [Cout] 'bias'), so any checkpoint
+    trained with the normal conv stack loads unchanged — quantization is a
+    pure execution-mode switch, not a model change.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+    padding: Any  # "SAME"/"VALID" or explicit ((lo, hi), ...) pairs
+    zero_init: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dims = len(self.kernel_size)
+        cin = x.shape[-1]
+        init = (
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal()
+        )
+        kernel = self.param(
+            "kernel", init, (*self.kernel_size, cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32,
+        )
+        dt = self.dtype or x.dtype
+        spatial = "DHW"[3 - dims:]
+        dn = ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C")
+
+        if cin < MIN_QUANT_CHANNELS or self.features < MIN_QUANT_CHANNELS:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), kernel.astype(dt), tuple(self.strides),
+                self.padding, dimension_numbers=dn,
+            )
+            return y + bias.astype(y.dtype)
+
+        # weights: per-output-channel symmetric scales
+        w_q, s_w = quantize_int8(kernel, axes=tuple(range(kernel.ndim - 1)))
+        # activations: dynamic per-tensor scale
+        x_q, s_x = quantize_int8(x, axes=tuple(range(x.ndim)))
+        y32 = jax.lax.conv_general_dilated(
+            x_q, w_q, tuple(self.strides), self.padding,
+            dimension_numbers=dn, preferred_element_type=jnp.int32,
+        )
+        scale = (s_x.reshape(()) * s_w.reshape(-1)).astype(jnp.float32)
+        y = (y32.astype(jnp.float32) * scale + bias).astype(dt)
+        return y

@@ -172,8 +172,19 @@ class SamplingService:
         warmup: bool = False,
         mesh=None,
         transfer_dtype: Optional[str] = None,
+        quantize: Optional[str] = None,
     ) -> None:
         import jax
+
+        if quantize is not None:
+            # W8A8 convs on the int8 MXU (2x bf16 peak; ops/quant.py) — an
+            # execution-mode switch, the checkpoint is unchanged. Trace-time
+            # global: set before the bucket samplers compile. Measured
+            # speedups in RESULTS.md "int8 quantized serving".
+            from rho_diffusion_tpu.ops.quant import set_conv_quant
+
+            set_conv_quant(str(quantize))  # validates ("off" | "int8")
+        self.quantize = quantize
 
         if transfer_dtype is not None:
             if str(transfer_dtype) not in ("bfloat16", "float16"):

@@ -44,6 +44,11 @@ def main() -> None:
         help="classifier-free guidance scale (1.0 = off; needs a model "
         "trained with cond_dropout > 0)",
     )
+    parser.add_argument(
+        "--quant", default=None, choices=["int8"],
+        help="quantize convs to int8 (W8A8) on the int8 MXU — ~2x conv "
+        "throughput, same checkpoint (ops/quant.py)",
+    )
     parser.add_argument("--work-dir", type=Path, default=Path("."))
     args = parser.parse_args()
 
@@ -59,6 +64,11 @@ def main() -> None:
     from rho_diffusion_tpu.utils import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()
+
+    if args.quant:
+        from rho_diffusion_tpu.ops.quant import set_conv_quant
+
+        set_conv_quant(args.quant)  # before the sampler traces
 
     from rho_diffusion_tpu.config import ExperimentConfig
     from rho_diffusion_tpu.utils import plot_tensor_images

@@ -211,6 +211,33 @@ def test_ddpm_pipeline_service():
         assert np.isfinite(res.samples).all()
 
 
+def test_quantized_service():
+    """quantize='int8' serves finite samples from an unchanged checkpoint
+    (W8A8 execution mode, ops/quant.py) and resets cleanly."""
+    from rho_diffusion_tpu.ops.quant import get_conv_quant, set_conv_quant
+
+    pipe = DDPM(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        optimizer="AdamW",
+    )
+    params = pipe.create_state(jax.random.PRNGKey(0)).params
+    try:
+        with SamplingService(
+            pipe, params, batch_buckets=(2,), max_delay_s=0.0,
+            quantize="int8",
+        ) as service:
+            assert get_conv_quant() == "int8"
+            res = service.generate(n=2, seed=0)
+            assert res.samples.shape == (2, 8, 8, 1)
+            assert np.isfinite(res.samples).all()
+        with pytest.raises(ValueError, match="conv quant mode"):
+            SamplingService(pipe, params, quantize="int4")
+    finally:
+        set_conv_quant("off")
+
+
 def test_stochastic_samplers_request_deterministic():
     """Ancestral DDPM (and eta>0 DDIM) step noise comes from per-row keys
     (diffusion/sampling_rng.py): a request's samples are bit-identical
