@@ -269,10 +269,21 @@ def main() -> None:
             max_l=5, grid_el=grid, length=max(batch * (steps + warmup + 2), 256),
         )
         loader = DataLoader(dset, batch_size=batch, num_workers=4)
+        # BENCH_DEVICE_CACHE=1: dataset resident in HBM, batches as
+        # on-device gathers — removes the per-step batch H2D that held
+        # realdata at ~94% of the device-resident bound (round 2/3).
+        cache = None
+        if os.environ.get("BENCH_DEVICE_CACHE") == "1":
+            from rho_diffusion_tpu.data.device_cache import DeviceDatasetCache
+
+            cache = DeviceDatasetCache(dset)
 
         def run(n):
             nonlocal state
-            it = prefetch_to_device(iter(loader))
+            if cache is not None:
+                it = cache.batches(loader)
+            else:
+                it = prefetch_to_device(iter(loader))
             metrics = None
             for i, b in enumerate(it):
                 if i >= n:

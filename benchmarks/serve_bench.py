@@ -115,7 +115,8 @@ def main() -> None:
     result = {
         "workload": f"{grid}^3 {sampler}-{steps} (bf16, mc={mc})"
         + (f" cfg={guidance}" if guidance is not None and guidance != 1.0 else "")
-        + (f" xfer={transfer_dtype}" if transfer_dtype else ""),
+        + (f" xfer={transfer_dtype}" if transfer_dtype else "")
+        + (f" quant={quantize}" if quantize else ""),
         "warmup_compile_s": round(compile_s, 1),
         "single_request_latency_p50_s": round(lats[len(lats) // 2], 4),
         "concurrent_requests": n_load,

@@ -97,6 +97,14 @@ class TrainingConfig(BaseModel):
     # axis — 1/N memory per device (the reference's commented
     # deepspeed_stage_1, scripts/training.py:139).
     zero1: bool = False
+    # Device-resident dataset cache (single-host, TPU-native addition):
+    # upload the collated dataset to HBM once and build each batch as an
+    # on-device gather — per-step H2D shrinks from the full batch to a few
+    # int32 indices (data/device_cache.py). Raises if the dataset exceeds
+    # the HBM budget; keep False to stream batches from host. Note the
+    # dataset is snapshotted once: stochastic-per-access datasets (the
+    # synthetic Ylm family) train on frozen draws, like a to_hdf5 export.
+    device_cache: bool = False
     # Metric sinks, resolved via the "loggers" registry category
     # ("stdout" | "jsonl" | "csv" | "mlflow"); the default reproduces the
     # stdout + metrics.jsonl behaviour.

@@ -162,6 +162,30 @@ class DataLoader:
             yield batch
         self.epoch += 1
 
+    def iter_index_batches(self, start: int = 0) -> Iterator[dict]:
+        """Index-only variant of :meth:`iter_batches`: yields the GLOBAL
+        sample indices (and wrap-padding validity mask) of each batch
+        without building the samples — the feed for
+        :class:`~rho_diffusion_tpu.data.device_cache.DeviceDatasetCache`,
+        where the batch itself is an on-device gather. Same (seed, epoch)
+        permutation, same wrap-padding, same epoch-counter semantics as
+        the host path (parity-tested in tests/data/test_device_cache.py)."""
+        indices = self._epoch_indices()
+        gbs = self.global_batch_size
+        n_batches = len(self)
+        for b in range(start, n_batches):
+            chunk = indices[b * gbs : (b + 1) * gbs]
+            n_real = len(chunk)
+            if n_real < gbs:
+                if self.drop_last:
+                    break
+                chunk = np.concatenate([chunk, indices[: gbs - n_real]])
+            rec = {"idx": chunk}
+            if n_real < gbs:
+                rec["valid"] = np.arange(gbs) < n_real
+            yield rec
+        self.epoch += 1
+
 
 def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
     """Run ``iterator`` in a background thread, keeping ``size`` items ready."""

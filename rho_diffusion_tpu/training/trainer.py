@@ -378,6 +378,20 @@ class Trainer:
         log_every = max(cfg.log_every_n_steps, 1)
         bench = cfg.benchmark_mode
 
+        device_cache = None
+        if cfg.device_cache:
+            from rho_diffusion_tpu.data.device_cache import DeviceDatasetCache
+
+            device_cache = getattr(self, "_device_cache", None)
+            if device_cache is None:
+                device_cache = DeviceDatasetCache(
+                    self.loader.dataset,
+                    collate_fn=self.loader.collate_fn,
+                    sharding=sharding,
+                    per_key=per_key,
+                )
+                self._device_cache = device_cache
+
         # Preemption handling (absent in the reference, SURVEY §5): on
         # SIGTERM/SIGINT (TPU maintenance events, scheduler evictions) set a
         # flag; the step loop checkpoints the full train state and exits
@@ -427,14 +441,16 @@ class Trainer:
                 if preempted:
                     break
                 self.loader.set_epoch(epoch)
-                batch_iter = self.loader.iter_batches(
-                    skip_batches if epoch == start_epoch else 0,
-                )
+                skip = skip_batches if epoch == start_epoch else 0
+                if device_cache is not None:
+                    batch_iter = device_cache.batches(self.loader, skip)
+                else:
+                    batch_iter = prefetch_to_device(
+                        self.loader.iter_batches(skip), sharding, per_key=per_key,
+                    )
                 epoch_loss, n_steps = 0.0, 0
                 t_step = time.perf_counter()
-                for batch in prefetch_to_device(
-                    batch_iter, sharding, per_key=per_key,
-                ):
+                for batch in batch_iter:
                     if preempted:
                         break
                     # active_mesh (not bare `with mesh`) so trace-time
