@@ -84,6 +84,8 @@ class DDPM(AbstractDiffusionPipeline):
         noise_factor: float = 0.8,
         clip_denoised: bool = True,
         cond_dropout: float = 0.0,
+        loss_weighting: Optional[str] = None,
+        min_snr_gamma: float = 5.0,
         **base_kwargs,
     ) -> None:
         super().__init__(
@@ -106,6 +108,20 @@ class DDPM(AbstractDiffusionPipeline):
         self.noise_factor = noise_factor
         self.clip_denoised = clip_denoised
         self.cond_dropout = self.validate_cond_dropout(cond_dropout)
+        # min-SNR weighting re-weights a per-sample MSE; any other loss_func
+        # has no SNR-space interpretation, so reject the combination at
+        # construction instead of training silently-wrong
+        from rho_diffusion_tpu.diffusion.gaussian import (
+            ModelMeanType, validate_loss_weighting,
+        )
+        self.loss_weighting = validate_loss_weighting(
+            loss_weighting, ModelMeanType.EPSILON,
+        )
+        self.min_snr_gamma = float(min_snr_gamma)
+        if self.loss_weighting and loss_func not in ("MSELoss", "mse", "mse_loss"):
+            raise ValueError(
+                f"loss_weighting='min_snr' requires an MSE loss_func, got {loss_func!r}",
+            )
 
     # ------------------------------------------------------------------
     # Training
@@ -134,7 +150,19 @@ class DDPM(AbstractDiffusionPipeline):
             cond_mask = self.cond_dropout_mask(m_rng, data.shape[0], labels)
         x_t, noise, t = self.forward_process(rng, data)
         eps_hat = self.apply(params, x_t, t, labels, train=True, cond_mask=cond_mask)
-        loss = self.loss_func(eps_hat, noise.astype(eps_hat.dtype))
+        if self.loss_weighting == "min_snr":
+            from rho_diffusion_tpu.diffusion.gaussian import (
+                ModelMeanType, min_snr_weight,
+            )
+            from rho_diffusion_tpu.ops.convolution import mean_flat
+            w = min_snr_weight(
+                self.schedule.alpha_bar_t, t,
+                ModelMeanType.EPSILON, self.min_snr_gamma,
+            )
+            per_sample = mean_flat((eps_hat - noise.astype(eps_hat.dtype)) ** 2)
+            loss = jnp.mean(w * per_sample)
+        else:
+            loss = self.loss_func(eps_hat, noise.astype(eps_hat.dtype))
         metrics = self.training_metrics(data, x_t, loss)
         return loss, metrics
 

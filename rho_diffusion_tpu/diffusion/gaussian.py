@@ -658,9 +658,12 @@ def training_losses(
     mean_type: ModelMeanType,
     var_type: ModelVarType,
     loss_type: LossType,
+    mse_weight: Optional[jnp.ndarray] = None,
 ) -> dict:
     """Per-sample training losses (reference :861-934). Noise is supplied by
-    the caller — exactly once (fixes the reference's double-noising)."""
+    the caller — exactly once (fixes the reference's double-noising).
+    ``mse_weight`` ([B], e.g. :func:`min_snr_weight`) scales the MSE term of
+    the composed loss; ``terms['mse']`` stays unweighted for logging."""
     x_t = q_sample(c, x_start, t, noise)
     terms: dict[str, jnp.ndarray] = {}
 
@@ -697,9 +700,70 @@ def training_losses(
     else:
         target = noise
     terms["mse"] = mean_flat((target - model_output) ** 2)
-    terms["loss"] = terms["mse"] + terms["vb"] if "vb" in terms else terms["mse"]
+    weighted = terms["mse"] if mse_weight is None else terms["mse"] * mse_weight
+    terms["loss"] = weighted + terms["vb"] if "vb" in terms else weighted
     terms["x_t"] = x_t
     return terms
+
+
+def min_snr_weight(
+    alphas_cumprod: jnp.ndarray,
+    t: jnp.ndarray,
+    mean_type: ModelMeanType,
+    gamma: float = 5.0,
+) -> jnp.ndarray:
+    """Per-sample min-SNR-gamma loss weight (Hang et al., arXiv:2303.09556).
+
+    Treats the multi-task objective over timesteps as Pareto optimisation:
+    clamp each timestep's effective weight at gamma so easy (high-SNR, low-t)
+    steps stop dominating the gradient. Expressed for each prediction target
+    so that the WEIGHTED loss equals min(SNR, gamma) * x0-space loss:
+
+    * START_X  (x0-pred):  w = min(SNR, gamma)
+    * EPSILON  (eps-pred): w = min(SNR, gamma) / SNR
+    * VELOCITY (v-pred):   w = min(SNR, gamma) / (SNR + 1)
+
+    PREVIOUS_X has no SNR-space interpretation; callers reject it. The
+    reference has no loss-weighting surface at all (its training_step is an
+    unweighted MSE, gaussian_diffusion.py:861-934) — this is a TPU-era
+    training-quality extension, computed as an O(B) table gather that fuses
+    into the loss reduction.
+    """
+    acp = alphas_cumprod[t]
+    snr = acp / jnp.maximum(1.0 - acp, 1e-20)
+    clipped = jnp.minimum(snr, gamma)
+    if mean_type == ModelMeanType.START_X:
+        return clipped
+    if mean_type == ModelMeanType.EPSILON:
+        return clipped / snr
+    if mean_type == ModelMeanType.VELOCITY:
+        return clipped / (snr + 1.0)
+    raise ValueError(
+        f"min-SNR weighting is undefined for mean_type={mean_type}; "
+        "use START_X, EPSILON or VELOCITY",
+    )
+
+
+def validate_loss_weighting(
+    loss_weighting: Optional[str], mean_type: ModelMeanType,
+) -> Optional[str]:
+    """Normalise/validate a ``loss_weighting`` config value at construction
+    time (fail on a bad config, not steps into a training run)."""
+    if loss_weighting in (None, "", "none"):
+        return None
+    canonical = str(loss_weighting).lower().replace("-", "_")
+    if canonical != "min_snr":
+        raise ValueError(
+            f"unknown loss_weighting {loss_weighting!r}; "
+            "expected 'min_snr' or none",
+        )
+    if mean_type not in (
+        ModelMeanType.START_X, ModelMeanType.EPSILON, ModelMeanType.VELOCITY,
+    ):
+        raise ValueError(
+            f"loss_weighting='min_snr' is undefined for mean_type={mean_type}",
+        )
+    return canonical
 
 
 def prior_bpd(c: GaussianCoefficients, x_start: jnp.ndarray) -> jnp.ndarray:
@@ -782,6 +846,8 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         save_checkpoint_every_n_epochs: int = 10,
         t_checkpoints=None,
         cond_dropout: float = 0.0,
+        loss_weighting: Optional[str] = None,
+        min_snr_gamma: float = 5.0,
         **base_kwargs,
     ) -> None:
         if schedule is None:
@@ -816,6 +882,10 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         self.save_weights_every_n_epochs = save_checkpoint_every_n_epochs
         self.t_checkpoints = t_checkpoints
         self.cond_dropout = self.validate_cond_dropout(cond_dropout)
+        self.loss_weighting = validate_loss_weighting(
+            loss_weighting, self.model_mean_type,
+        )
+        self.min_snr_gamma = float(min_snr_gamma)
 
     def _model_fn(
         self,
@@ -870,6 +940,12 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         # classifier-free guidance training: drop each row's conditioning
         # with prob p so the one network also learns the null condition
         cond_mask = self.cond_dropout_mask(m_rng, data.shape[0], labels)
+        mse_weight = None
+        if self.loss_weighting == "min_snr":
+            mse_weight = min_snr_weight(
+                self.coeffs.alphas_cumprod, t,
+                self.model_mean_type, self.min_snr_gamma,
+            )
         terms = training_losses(
             self.coeffs,
             self._model_fn(params, labels, train=True, cond_mask=cond_mask),
@@ -879,6 +955,7 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
             self.model_mean_type,
             self.model_var_type,
             self.loss_type,
+            mse_weight=mse_weight,
         )
         loss = jnp.mean(terms["loss"])
         metrics = self.training_metrics(data, terms.get("x_t", data), loss)
