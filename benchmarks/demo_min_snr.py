@@ -73,7 +73,11 @@ def train_one(loss_weighting):
     dset = SphericalHarmonicDataset(
         max_l=5, grid_el=GRID, length=max(BATCH * (STEPS + 8), 256),
     )
-    loader = DataLoader(dset, batch_size=BATCH, num_workers=4)
+    # num_workers=0: the controlled comparison ("same data order" between
+    # arms) requires a single-threaded draw from the dataset's RNG stream —
+    # worker threads would interleave draws nondeterministically. Fields
+    # are memoised, so the loader is not the bottleneck here anyway.
+    loader = DataLoader(dset, batch_size=BATCH, num_workers=0)
     curve, t0 = [], time.perf_counter()
     for i, b in enumerate(prefetch_to_device(iter(loader))):
         if i >= STEPS:

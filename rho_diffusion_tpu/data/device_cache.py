@@ -90,8 +90,24 @@ class DeviceDatasetCache:
         self.nbytes = total
         self._none_keys = [k for k, v in host.items() if v is None]
         tables = {k: np.asarray(v) for k, v in host.items() if v is not None}
-        # tables live replicated; the gather output carries the batch sharding
-        self._tables = {k: jax.device_put(v) for k, v in tables.items()}
+        # Tables live REPLICATED across the mesh (explicitly — a bare
+        # device_put would leave the whole table on the default device,
+        # re-introducing a per-step cross-device copy and concentrating
+        # the HBM cost on one chip); the gather output carries the batch
+        # sharding.
+        table_sharding = None
+        if sharding is not None and hasattr(sharding, "mesh"):
+            table_sharding = jax.sharding.NamedSharding(
+                sharding.mesh, jax.sharding.PartitionSpec(),
+            )
+        self._tables = {
+            k: (
+                jax.device_put(v, table_sharding)
+                if table_sharding is not None
+                else jax.device_put(v)
+            )
+            for k, v in tables.items()
+        }
         out_shardings = None
         if sharding is not None or per_key is not None:
             out_shardings = {

@@ -139,7 +139,29 @@ class DataLoader:
         """Iterate this epoch's batches from batch index ``start`` — the
         mid-epoch resume fast-forward (the permutation is a pure function of
         (seed, epoch), so skipping re-creates the exact uninterrupted
-        sequence without building the skipped batches)."""
+        sequence without building the skipped batches).
+
+        Built on :meth:`iter_index_batches` (the single source of the
+        permutation/wrap-padding/epoch semantics) by materialising this
+        host's slice of each global index batch."""
+        gbs = self.global_batch_size
+        for rec in self.iter_index_batches(start):
+            # this host's slice of the global batch
+            parts = np.array_split(np.arange(gbs), self.num_processes)
+            local_pos = parts[self.process_index]
+            batch = self._build_batch(rec["idx"][local_pos])
+            if "valid" in rec:
+                batch["valid"] = rec["valid"][local_pos]
+            yield batch
+
+    def iter_index_batches(self, start: int = 0) -> Iterator[dict]:
+        """Index-only core of the epoch iteration: yields the GLOBAL
+        sample indices (and wrap-padding validity mask) of each batch
+        without building the samples. Consumed directly by
+        :class:`~rho_diffusion_tpu.data.device_cache.DeviceDatasetCache`
+        (the batch is an on-device gather) and, sliced per host, by
+        :meth:`iter_batches` (parity-tested in
+        tests/data/test_device_cache.py)."""
         indices = self._epoch_indices()
         gbs = self.global_batch_size
         n_batches = len(self)
@@ -152,33 +174,6 @@ class DataLoader:
                 # pad by wrapping so shapes stay static for jit; mark the
                 # padded rows so consumers (validation) can exclude them
                 # instead of double-counting early samples
-                chunk = np.concatenate([chunk, indices[: gbs - n_real]])
-            # this host's slice of the global batch
-            parts = np.array_split(np.arange(gbs), self.num_processes)
-            local_pos = parts[self.process_index]
-            batch = self._build_batch(chunk[local_pos])
-            if n_real < gbs:
-                batch["valid"] = (local_pos < n_real)
-            yield batch
-        self.epoch += 1
-
-    def iter_index_batches(self, start: int = 0) -> Iterator[dict]:
-        """Index-only variant of :meth:`iter_batches`: yields the GLOBAL
-        sample indices (and wrap-padding validity mask) of each batch
-        without building the samples — the feed for
-        :class:`~rho_diffusion_tpu.data.device_cache.DeviceDatasetCache`,
-        where the batch itself is an on-device gather. Same (seed, epoch)
-        permutation, same wrap-padding, same epoch-counter semantics as
-        the host path (parity-tested in tests/data/test_device_cache.py)."""
-        indices = self._epoch_indices()
-        gbs = self.global_batch_size
-        n_batches = len(self)
-        for b in range(start, n_batches):
-            chunk = indices[b * gbs : (b + 1) * gbs]
-            n_real = len(chunk)
-            if n_real < gbs:
-                if self.drop_last:
-                    break
                 chunk = np.concatenate([chunk, indices[: gbs - n_real]])
             rec = {"idx": chunk}
             if n_real < gbs:

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from pathlib import Path
 from typing import Optional
 
@@ -133,6 +134,10 @@ class SphericalHarmonicDataset(MultiVariateDataset):
             random_seed = int(os.getenv("RHO_GLOBAL_SEED", os.getenv("PL_GLOBAL_SEED", 1616)))
         self.random_seed = random_seed
         self._rng = np.random.default_rng(random_seed)
+        # The threaded DataLoader / DeviceDatasetCache map __getitem__ over
+        # worker threads; numpy Generators are not thread-safe, so draws
+        # are serialized (the draw is ~ns next to the field compute).
+        self._rng_lock = threading.Lock()
         self.h5_path = Path(h5_path) if h5_path else None
         if self.h5_path:
             assert self.h5_path.exists(), f"{self.h5_path} not found"
@@ -153,8 +158,9 @@ class SphericalHarmonicDataset(MultiVariateDataset):
         draws l from [0, max_l] INCLUSIVE (random.randint) while its own
         parameter space is range(0, max_l) — samples could fall outside the
         declared space. We draw l from [0, max_l) to stay consistent."""
-        l = int(self._rng.integers(0, self.max_l))  # noqa: E741
-        m = int(self._rng.integers(-l, l + 1))
+        with self._rng_lock:
+            l = int(self._rng.integers(0, self.max_l))  # noqa: E741
+            m = int(self._rng.integers(-l, l + 1))
         return l, m
 
     def __len__(self) -> int:

@@ -745,7 +745,9 @@ def min_snr_weight(
 
 
 def validate_loss_weighting(
-    loss_weighting: Optional[str], mean_type: ModelMeanType,
+    loss_weighting: Optional[str],
+    mean_type: ModelMeanType,
+    loss_type: Optional["LossType"] = None,
 ) -> Optional[str]:
     """Normalise/validate a ``loss_weighting`` config value at construction
     time (fail on a bad config, not steps into a training run)."""
@@ -762,6 +764,14 @@ def validate_loss_weighting(
     ):
         raise ValueError(
             f"loss_weighting='min_snr' is undefined for mean_type={mean_type}",
+        )
+    if loss_type is not None and loss_type.is_vb():
+        # training_losses' pure-VLB branch returns before any MSE weighting
+        # could apply — reject the combination instead of silently training
+        # unweighted (mirrors the DDPM pipeline's non-MSE loss_func check).
+        raise ValueError(
+            f"loss_weighting='min_snr' only applies to MSE loss types, "
+            f"not loss_type={loss_type}",
         )
     return canonical
 
@@ -883,7 +893,7 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         self.t_checkpoints = t_checkpoints
         self.cond_dropout = self.validate_cond_dropout(cond_dropout)
         self.loss_weighting = validate_loss_weighting(
-            loss_weighting, self.model_mean_type,
+            loss_weighting, self.model_mean_type, self.loss_type,
         )
         self.min_snr_gamma = float(min_snr_gamma)
 

@@ -78,6 +78,25 @@ def conv_nd(
     """
     if isinstance(stride, int):
         stride = (stride,) * dims
+    from rho_diffusion_tpu.ops.quant import ConvInt8, get_conv_quant
+
+    if get_conv_quant() == "int8":
+        # W8A8 inference on the int8 MXU (2x bf16 peak; ops/quant.py).
+        # Same param layout as nn.Conv — checkpoints load unchanged.
+        # Checked BEFORE the Pallas/via-2d backends: quantization is an
+        # explicit execution-mode request and must win over the float
+        # backend selection, or `quantize='int8'` would silently run bf16
+        # on exactly the stride-1 3x3x3 convs it targets.
+        pad = padding
+        if pad == "SAME" and any(s != 1 for s in stride):
+            pad = (kernel_size - 1) // 2
+        if isinstance(pad, int):
+            pad = [(pad, pad)] * dims
+        return ConvInt8(
+            features=features, kernel_size=(kernel_size,) * dims,
+            strides=tuple(stride), padding=pad, zero_init=zero_init,
+            dtype=dtype, name=name,
+        )
     if (
         dims == 3
         and kernel_size == 3
@@ -98,16 +117,6 @@ def conv_nd(
         padding = (kernel_size - 1) // 2
     if isinstance(padding, int):
         padding = [(padding, padding)] * dims
-    from rho_diffusion_tpu.ops.quant import ConvInt8, get_conv_quant
-
-    if get_conv_quant() == "int8":
-        # W8A8 inference on the int8 MXU (2x bf16 peak; ops/quant.py).
-        # Same param layout as nn.Conv — checkpoints load unchanged.
-        return ConvInt8(
-            features=features, kernel_size=(kernel_size,) * dims,
-            strides=tuple(stride), padding=padding, zero_init=zero_init,
-            dtype=dtype, name=name,
-        )
     kwargs = {}
     if zero_init:
         kwargs["kernel_init"] = nn.initializers.zeros

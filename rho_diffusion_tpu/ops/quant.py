@@ -8,15 +8,20 @@ and XLA lowers integer ``conv_general_dilated`` straight onto it: measured
 serving-throughput lever the reference (fp32 torch,
 /root/reference/rho_diffusion/models/unet_v2.py) has no counterpart for.
 
-Scheme — symmetric, weight-per-output-channel, activation-per-tensor
+Scheme — symmetric, weight-per-output-channel, activation-per-SAMPLE
 (the standard W8A8 recipe; per-channel weight scales absorb the large
-inter-filter magnitude spread, the dynamic per-tensor activation scale
-follows the step-dependent activation range of diffusion sampling):
+inter-filter magnitude spread, the dynamic activation scale follows the
+step-dependent activation range of diffusion sampling). The activation
+scale deliberately does NOT reduce over the batch axis: a per-tensor
+scale would make every row's numerics depend on which other rows were
+co-batched, breaking the serving layer's request-determinism contract
+(serving.py: bit-identical samples regardless of batching/padding).
+Per-sample scales cost the same single VPU reduce.
 
     s_w[c] = max|W[..., c]| / 127     (loop-invariant — XLA hoists the
                                        weight quantization out of the
                                        scan-over-steps samplers)
-    s_x    = max|x| / 127             (dynamic, one VPU reduce per conv)
+    s_x[b] = max|x[b]| / 127          (dynamic, one VPU reduce per conv)
     y      = conv(q(x), q(W)) -> int32 on the int8 MXU
     out    = y * (s_x * s_w) + bias   (dequant fused by XLA)
 
@@ -129,12 +134,14 @@ class ConvInt8(nn.Module):
 
         # weights: per-output-channel symmetric scales
         w_q, s_w = quantize_int8(kernel, axes=tuple(range(kernel.ndim - 1)))
-        # activations: dynamic per-tensor scale
-        x_q, s_x = quantize_int8(x, axes=tuple(range(x.ndim)))
+        # activations: dynamic per-SAMPLE scale (never across the batch —
+        # see module docstring: serving request-determinism contract)
+        x_q, s_x = quantize_int8(x, axes=tuple(range(1, x.ndim)))
         y32 = jax.lax.conv_general_dilated(
             x_q, w_q, tuple(self.strides), self.padding,
             dimension_numbers=dn, preferred_element_type=jnp.int32,
         )
-        scale = (s_x.reshape(()) * s_w.reshape(-1)).astype(jnp.float32)
+        # s_x: [B, 1, ..., 1]; s_w -> [1, ..., 1, Cout]; broadcast over y32.
+        scale = (s_x * s_w.reshape(-1)).astype(jnp.float32)
         y = (y32.astype(jnp.float32) * scale + bias).astype(dt)
         return y

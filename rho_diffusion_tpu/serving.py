@@ -176,13 +176,16 @@ class SamplingService:
     ) -> None:
         import jax
 
-        if quantize is not None:
-            # W8A8 convs on the int8 MXU (2x bf16 peak; ops/quant.py) — an
-            # execution-mode switch, the checkpoint is unchanged. Trace-time
-            # global: set before the bucket samplers compile. Measured
-            # speedups in RESULTS.md "int8 quantized serving".
-            from rho_diffusion_tpu.ops.quant import set_conv_quant
+        from rho_diffusion_tpu.ops.quant import get_conv_quant, set_conv_quant
 
+        # W8A8 convs on the int8 MXU (2x bf16 peak; ops/quant.py) — an
+        # execution-mode switch, the checkpoint is unchanged. Trace-time
+        # global: set before the bucket samplers compile and restored by
+        # close(), so a later service (or any other sampler trace) in the
+        # same process doesn't silently inherit this service's mode.
+        # Measured speedups in RESULTS.md "int8 quantized serving".
+        self._prev_quant = get_conv_quant()
+        if quantize is not None:
             set_conv_quant(str(quantize))  # validates ("off" | "int8")
         self.quantize = quantize
 
@@ -475,6 +478,11 @@ class SamplingService:
             self._queue.put(None)
         self._worker.join(timeout=30)
         self._puller.join(timeout=30)
+        if self.quantize is not None:
+            # restore the process-global conv-quant mode this service set
+            from rho_diffusion_tpu.ops.quant import set_conv_quant
+
+            set_conv_quant(self._prev_quant)
 
     def __enter__(self) -> "SamplingService":
         return self
@@ -647,7 +655,20 @@ class SamplingService:
             item = self._pull_queue.get()
             if item is None:
                 return
-            self._deliver(*item)
+            try:
+                self._deliver(*item)
+            except Exception as exc:
+                # The pull thread must never die: the bounded _pull_queue
+                # would back the worker up on put() and deadlock the whole
+                # service. Anything escaping _deliver's own guards (e.g.
+                # InvalidStateError from a future a client cancelled
+                # between done() and set_result, or a stats bookkeeping
+                # bug) fails this launch's outstanding futures and moves on.
+                for c in item[1]:
+                    try:
+                        c.assembly.fail(exc)
+                    except Exception:
+                        pass
 
     def _worker_loop(self) -> None:
         try:

@@ -117,3 +117,28 @@ def test_trainer_device_cache_loss_parity(tmp_path):
         losses[flag] = [r["train_loss"] for r in recs if "train_loss" in r]
     assert losses[True] == losses[False]
     assert len(losses[True]) > 0
+
+
+def test_tables_replicated_on_mesh():
+    """With a batch sharding over a data-parallel mesh, the cached tables
+    must be explicitly REPLICATED across the mesh devices (a bare
+    device_put would strand the whole table on one device, re-introducing
+    a per-step cross-device copy) and gathered batches must carry the
+    batch sharding."""
+    import jax
+
+    from rho_diffusion_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(data=4, devices=jax.devices()[:4])
+    cache = DeviceDatasetCache(
+        ArangeDataset(n=16), sharding=batch_sharding(mesh), num_workers=0,
+    )
+    for tab in cache._tables.values():
+        assert tab.sharding.is_fully_replicated
+        assert len(tab.sharding.device_set) == 4
+    batch = cache.batch(np.arange(8))
+    data_sh = batch["data"].sharding
+    assert not data_sh.is_fully_replicated  # sharded along the batch axis
+    np.testing.assert_array_equal(
+        np.asarray(batch["data"])[:, 0, 0, 0], np.arange(8, dtype=np.float32),
+    )

@@ -114,6 +114,38 @@ def test_quantized_model_forward_and_sampling():
     assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_int8_activation_scale_is_per_sample():
+    """A row's quantized output is bit-identical no matter what other rows
+    share the batch — the property the serving layer's request-determinism
+    contract rests on (a per-TENSOR activation scale would couple every
+    row's numerics to its co-batched neighbours, including pad rows)."""
+    rng = jax.random.PRNGKey(7)
+    row = jax.random.normal(rng, (1, 8, 8, 32), jnp.float32)
+    huge = 1e3 * jax.random.normal(jax.random.PRNGKey(8), (1, 8, 8, 32))
+    with conv_quant("int8"):
+        conv_q = conv_nd(2, 48, 3)
+        params = conv_q.init(jax.random.PRNGKey(9), row)
+        alone = conv_q.apply(params, row)
+        batched = conv_q.apply(params, jnp.concatenate([row, huge], axis=0))
+    np.testing.assert_array_equal(np.asarray(alone[0]), np.asarray(batched[0]))
+
+
+def test_int8_wins_over_conv3d_backend_selection():
+    """quantize='int8' must take the stride-1 3x3x3 convs (the FLOP bulk it
+    targets) even when a float 3-D conv backend is enabled — the dispatch
+    order in conv_nd checks quantization first."""
+    from rho_diffusion_tpu.ops import convolution as C
+
+    prev = C._CONV3D_PALLAS_MODE
+    C.set_conv3d_backend("1")  # force the Pallas backend selection
+    try:
+        with conv_quant("int8"):
+            conv = conv_nd(3, 32, 3)
+        assert isinstance(conv, ConvInt8)
+    finally:
+        C.set_conv3d_backend(prev)
+
+
 def test_training_refused_while_quantized():
     with conv_quant("int8"):
         pipe = _tiny_pipe()

@@ -175,3 +175,15 @@ def test_validation_rejects_bad_configs():
             loss_func="L1Loss",
             loss_weighting="min_snr",
         )
+    # pure-VLB loss types return before any MSE weighting could apply —
+    # reject at construction instead of silently training unweighted
+    with pytest.raises(ValueError, match="MSE loss types"):
+        GaussianDiffusionPipeline(
+            backbone="UNetv2",
+            backbone_kwargs=_backbone_kwargs(),
+            schedule=LinearSchedule(20, 2e-4, 1e-2),
+            model_mean_type="epsilon",
+            model_var_type="learned_range",
+            loss_type="kl",
+            loss_weighting="min_snr",
+        )

@@ -232,6 +232,9 @@ def test_quantized_service():
             res = service.generate(n=2, seed=0)
             assert res.samples.shape == (2, 8, 8, 1)
             assert np.isfinite(res.samples).all()
+        # close() restores the process-global conv-quant mode so a later
+        # service/trace with quantize=None doesn't silently compile int8
+        assert get_conv_quant() == "off"
         with pytest.raises(ValueError, match="conv quant mode"):
             SamplingService(pipe, params, quantize="int4")
     finally:
