@@ -674,3 +674,40 @@ def test_close_fails_pending_requests():
     service.close()
     with pytest.raises(RuntimeError):
         service.submit(n=1)
+
+
+def test_delivery_exception_does_not_kill_pull_thread():
+    """Anything escaping _deliver (e.g. InvalidStateError from a future a
+    client cancelled between the done() check and set_result) must not end
+    the pull thread: with the bounded pull queue the worker would block on
+    put() forever and the whole service would deadlock. The guard fails the
+    affected launch's futures and keeps pulling."""
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        model_var_type="fixed_large",
+        optimizer="AdamW",
+    )
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    service = SamplingService(pipe, params, batch_buckets=(1,), max_delay_s=0.0)
+    try:
+        service.generate(n=1, seed=0)  # compile bucket 1
+
+        real_deliver = service._deliver
+
+        def exploding_deliver(*a, **k):
+            raise RuntimeError("simulated delivery bug")
+
+        service._deliver = exploding_deliver
+        fut = service.submit(n=1, seed=1)
+        with pytest.raises(RuntimeError, match="simulated delivery bug"):
+            fut.result(timeout=120)
+        service._deliver = real_deliver
+        # pull thread survived: later requests are served normally
+        ok = service.generate(n=1, seed=2)
+        assert np.isfinite(ok.samples).all()
+        assert service._puller.is_alive()
+    finally:
+        service.close()
