@@ -111,6 +111,18 @@ class AbstractDiffusionPipeline:
         self.cond_fn = cond_module
 
         self.schedule = schedule
+        if timesteps is not None and schedule is not None and \
+                int(timesteps) != len(schedule):
+            # A disagreement is silently wrong under jit: training would
+            # draw t from [0, timesteps) while every coefficient table has
+            # len(schedule) rows, and out-of-range gathers CLAMP instead of
+            # erroring. To shorten sampling, use num_steps= on
+            # reverse_process (respacing); to train on fewer steps, build
+            # the schedule with that T.
+            raise ValueError(
+                f"timesteps={timesteps} disagrees with the schedule length "
+                f"{len(schedule)} — pass one or the other",
+            )
         self.timesteps = timesteps or len(schedule)
         self.loss_func = resolve_loss(loss_func)
 
@@ -170,9 +182,17 @@ class AbstractDiffusionPipeline:
                 # no cond_fn: the only valid modality is precomputed
                 # embeddings of shape [B, 4*model_channels] (the sha512
                 # hash-label path, unet_v2.py:708-713)
-                emb_dim = self.backbone_kwargs.get("model_channels", 64) * 4
-                y = jnp.zeros((batch_size, emb_dim), jnp.float32)
+                y = jnp.zeros(
+                    (batch_size, self.condition_embedding_dim()), jnp.float32,
+                )
         return x, t, y
+
+    def condition_embedding_dim(self) -> int:
+        """Width of precomputed condition embeddings the backbone accepts:
+        the time-embedding width, 4 x model_channels (unet_v2.py:516 — the
+        sha512 hash-label path adds them directly). Single source for the
+        three call sites that build hash-embedding conditions."""
+        return self.backbone_kwargs.get("model_channels", 64) * 4
 
     def init_params(self, rng: jax.Array, batch=None):
         """Initialise backbone parameters."""

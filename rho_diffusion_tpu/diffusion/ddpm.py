@@ -118,7 +118,11 @@ class DDPM(AbstractDiffusionPipeline):
             loss_weighting, ModelMeanType.EPSILON,
         )
         self.min_snr_gamma = float(min_snr_gamma)
-        if self.loss_weighting and loss_func not in ("MSELoss", "mse", "mse_loss"):
+        # Only STRING names can be checked; a callable loss_func is the
+        # caller's assertion that it is (a variant of) MSE — rejecting every
+        # callable would make min_snr unusable with a user-supplied MSE.
+        if self.loss_weighting and isinstance(loss_func, str) and \
+                loss_func not in ("MSELoss", "mse", "mse_loss"):
             raise ValueError(
                 f"loss_weighting='min_snr' requires an MSE loss_func, got {loss_func!r}",
             )
@@ -277,21 +281,27 @@ class DDPM(AbstractDiffusionPipeline):
         batch_size = batch_size or self.sampling_batch_size
         shape = self.sample_shape(batch_size)
         if conditions is None and parameter_space is not None:
-            embedding_dim = self.backbone_kwargs.get("model_channels", 64) * 4
             conditions = self.conditions_from_parameter_space(
                 parameter_space,
                 batch_size,
                 random=random,
                 as_hash_embeddings=as_hash_embeddings,
-                embedding_dim=embedding_dim,
+                embedding_dim=self.condition_embedding_dim(),
             )
         else:
-            conditions = self.coerce_conditions(conditions, batch_size, rng)
-        # cache the jitted sampler per (shape, conditioning) so repeated
-        # epoch-end generation doesn't re-trace the T-step scan
+            # split so the condition draw ('auto') and the sampler noise
+            # never consume the same key (classic JAX key-reuse)
+            rng, cond_rng = jax.random.split(rng)
+            conditions = self.coerce_conditions(conditions, batch_size, cond_rng)
+        # cache the jitted sampler per (shape, conditioning, quant mode) so
+        # repeated epoch-end generation doesn't re-trace the T-step scan —
+        # the quant mode is read at trace time, so a toggled set_conv_quant
+        # must not silently reuse a trace from the old mode
+        from rho_diffusion_tpu.ops.quant import get_conv_quant
+
         key = ("ddpm", shape, conditions is not None,
                len(self.t_checkpoints) if self.t_checkpoints is not None else 0,
-               guidance_scale)
+               guidance_scale, get_conv_quant())
         if key not in self._sampler_cache:
             self._sampler_cache[key] = jax.jit(
                 lambda p, r, c: self.reverse_process(

@@ -178,8 +178,28 @@ def space_timesteps_lambda(
     abar = np.asarray(coeffs.alphas_cumprod, np.float64)
     lam = 0.5 * np.log(abar / (1.0 - abar))  # decreasing in t
     targets = np.linspace(lam[-1], lam[0], num_respaced)
-    idx = np.abs(lam[None, :] - targets[:, None]).argmin(axis=1)
-    return np.unique(idx)
+    # Exactly num_respaced UNIQUE steps: on a grid that is coarse in lambda
+    # (small T, steep cosine tail) several targets snap to the same index;
+    # a plain argmin+unique would silently return fewer model evaluations
+    # than the caller asked for. Greedily spill collisions to the nearest
+    # free neighbour instead (num_respaced < T guarantees one exists).
+    dist = np.abs(lam[None, :] - targets[:, None])  # [K, T]
+    taken = np.zeros(lam.shape[0], bool)
+    out = []
+    for k in range(num_respaced):
+        cand = int(dist[k].argmin())
+        offset = 1
+        while taken[cand]:
+            lo, hi = cand - offset, cand + offset
+            if lo >= 0 and not taken[lo]:
+                cand = lo
+            elif hi < lam.shape[0] and not taken[hi]:
+                cand = hi
+            else:
+                offset += 1
+        taken[cand] = True
+        out.append(cand)
+    return np.sort(np.asarray(out, np.int64))
 
 
 def respace(
@@ -471,6 +491,7 @@ def sample_loop(
     x_T: Optional[jnp.ndarray] = None,
     progressive: bool = False,
     t_checkpoints=None,
+    thresholding_percentile: float = 0.9,
 ):
     """Full sampling loop as one ``lax.scan`` over t = T-1..0 (replaces the
     reference's Python loops :558-652/762-824). ``progressive=True`` also
@@ -510,6 +531,7 @@ def sample_loop(
         x = jax.random.normal(init_rng, shape) if x_T is None else x_T
     step = p_sample_step if sampler == "ddpm" else ddim_sample_step
     kw = {"eta": eta} if sampler == "ddim" else {}
+    kw["thresholding_percentile"] = thresholding_percentile
 
     if t_checkpoints is not None and len(t_checkpoints) == 0:
         t_checkpoints = None  # empty sequence == no checkpoint buffer
@@ -581,6 +603,7 @@ def sample_loop(
             out = p_mean_variance(
                 c, model_fn, x, tt, mean_type, var_type,
                 clip_denoised=clip_denoised,
+                thresholding_percentile=thresholding_percentile,
             )
             if cond_grad_fn is not None:
                 out = condition_score(c, cond_grad_fn, out, x, tt)
@@ -632,12 +655,14 @@ def sample_loop(
 
 def vb_terms_bpd(
     c, model_fn, x_start, x_t, t, mean_type, var_type, clip_denoised=False,
+    thresholding_percentile=0.9,
 ):
     """KL(q(x_{t-1}|x_t,x_0) || p(x_{t-1}|x_t)) in bits, with the t=0 term
     the discretised decoder NLL (reference _vb_terms_bpd :826-859)."""
     true_mean, _, true_log_var = q_posterior_mean_variance(c, x_start, x_t, t)
     out = p_mean_variance(
         c, model_fn, x_t, t, mean_type, var_type, clip_denoised=clip_denoised,
+        thresholding_percentile=thresholding_percentile,
     )
     kl = normal_kl(true_mean, true_log_var, out["mean"], out["log_variance"])
     kl = mean_flat(kl) / jnp.log(2.0)
@@ -792,6 +817,7 @@ def calc_bpd_loop(
     mean_type: ModelMeanType,
     var_type: ModelVarType,
     clip_denoised: bool = True,
+    thresholding_percentile: float = 0.9,
 ) -> dict:
     """Full VLB in bits/dim, T-loop as ``lax.scan`` (reference :955-1009)."""
     B = x_start.shape[0]
@@ -804,6 +830,7 @@ def calc_bpd_loop(
         out = vb_terms_bpd(
             c, model_fn, x_start, x_t, tt, mean_type, var_type,
             clip_denoised=clip_denoised,
+            thresholding_percentile=thresholding_percentile,
         )
         eps = predict_eps_from_xstart(c, x_t, tt, out["pred_xstart"])
         return key, (
@@ -1028,6 +1055,7 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
             x_T=x_T,
             progressive=progressive,
             t_checkpoints=t_checkpoints,
+            thresholding_percentile=self.thresholding_percentile,
         )
 
     def generate(
@@ -1051,17 +1079,24 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         shape = self.sample_shape(batch_size)
         space = parameter_space or self.sample_parameter_space
         if conditions is None and space is not None:
-            embedding_dim = self.backbone_kwargs.get("model_channels", 64) * 4
             conditions = self.conditions_from_parameter_space(
                 space, batch_size, random=random,
-                as_hash_embeddings=as_hash_embeddings, embedding_dim=embedding_dim,
+                as_hash_embeddings=as_hash_embeddings,
+                embedding_dim=self.condition_embedding_dim(),
             )
         else:
-            conditions = self.coerce_conditions(conditions, batch_size, rng)
-        # jitted-sampler cache keyed by static sampling options
+            # split so the condition draw ('auto') and the sampler noise
+            # never consume the same key (classic JAX key-reuse)
+            rng, cond_rng = jax.random.split(rng)
+            conditions = self.coerce_conditions(conditions, batch_size, cond_rng)
+        # jitted-sampler cache keyed by static sampling options — including
+        # the trace-time conv-quant mode, or toggling set_conv_quant between
+        # generate() calls would silently reuse a trace from the old mode
+        from rho_diffusion_tpu.ops.quant import get_conv_quant
+
         key = (
             "gauss", shape, conditions is not None, sampler, num_steps, eta,
-            guidance_scale,
+            guidance_scale, get_conv_quant(),
         )
         if key not in self._sampler_cache:
             self._sampler_cache[key] = jax.jit(
@@ -1096,4 +1131,5 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
             self.model_mean_type,
             self.model_var_type,
             clip_denoised=clip_denoised,
+            thresholding_percentile=self.thresholding_percentile,
         )

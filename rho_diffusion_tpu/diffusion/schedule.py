@@ -228,15 +228,21 @@ def named_beta_schedule(
       cos^2 alpha_bar and max beta 0.999.
     * "sigmoid": HF sigmoid betas over [beta_start, beta_end].
     """
+    if (beta_start is None) != (beta_end is None):
+        # Half-specified endpoints would mix conventions: the 1000/T
+        # guided-diffusion rescale applies only when BOTH are defaulted,
+        # so the missing endpoint would silently fall back to the
+        # UN-rescaled HF value — a schedule matching neither convention.
+        raise ValueError(
+            "pass both beta_start and beta_end (HF semantics) or neither "
+            f"(guided-diffusion defaults); got beta_start={beta_start}, "
+            f"beta_end={beta_end}",
+        )
     if name == "linear":
         if beta_start is None and beta_end is None:
             scale = 1000.0 / num_steps
             beta_start, beta_end = scale * 0.0001, scale * 0.02
-        beta = np.linspace(
-            beta_start if beta_start is not None else 0.0001,
-            beta_end if beta_end is not None else 0.02,
-            num_steps, dtype=np.float64,
-        )
+        beta = np.linspace(beta_start, beta_end, num_steps, dtype=np.float64)
         return schedule_from_betas(beta)
     if name == "scaled_linear":
         beta = np.linspace(
