@@ -134,8 +134,14 @@ class DeepGalaxyDataset(MultiVariateDataset):
             matched = [k for k in h5f.keys() if pattern.match(k)]
             if isinstance(camera_pos, int):
                 camera_pos = [camera_pos]
-            elif isinstance(camera_pos, str) and camera_pos == "*":
-                camera_pos = range(0, 14)
+            elif isinstance(camera_pos, str):
+                if camera_pos == "*":
+                    camera_pos = range(0, 14)
+                else:
+                    # JSON configs often quote numbers ("3" or "3,7"); a
+                    # bare string would otherwise iterate per CHARACTER and
+                    # crash on the :02d key format below
+                    camera_pos = [int(c) for c in camera_pos.split(",")]
 
             images_set, s_set, m_set, t_set, c_set = [], [], [], [], []
             for dset_name in matched:

@@ -173,8 +173,12 @@ class DataLoader:
                     break
                 # pad by wrapping so shapes stay static for jit; mark the
                 # padded rows so consumers (validation) can exclude them
-                # instead of double-counting early samples
-                chunk = np.concatenate([chunk, indices[: gbs - n_real]])
+                # instead of double-counting early samples. np.resize tiles
+                # cyclically, so datasets SMALLER than the pad (tiny val
+                # splits) still fill the batch instead of coming up short.
+                chunk = np.concatenate(
+                    [chunk, np.resize(indices, gbs - n_real)],
+                )
             rec = {"idx": chunk}
             if n_real < gbs:
                 rec["valid"] = np.arange(gbs) < n_real

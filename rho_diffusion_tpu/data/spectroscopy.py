@@ -9,6 +9,7 @@ linewidth ~ |N(1, 0.1)|, normalised to unit peak. Channels-LAST output
 """
 from __future__ import annotations
 
+import threading
 from functools import cached_property
 from pathlib import Path
 from typing import Optional, Union
@@ -37,6 +38,7 @@ class SpectroscopyDataset(UnivariateDataset):
         self.grid_size = grid_size
         self._linewidth = linewidth
         self._rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()
 
     def sample_linewidth(self) -> float:
         """Fixed width, or |N(mu, sigma)| per sample
@@ -45,7 +47,10 @@ class SpectroscopyDataset(UnivariateDataset):
         if isinstance(lw, float):
             return lw
         mu, sigma = lw if isinstance(lw, tuple) else (1.0, 0.1)
-        return float(abs(self._rng.normal(mu, sigma)))
+        # the threaded DataLoader maps __getitem__ over worker threads and
+        # numpy Generators are not thread-safe (same fix as synthetic.py)
+        with self._rng_lock:
+            return float(abs(self._rng.normal(mu, sigma)))
 
     @cached_property
     def frequency_grid(self) -> np.ndarray:

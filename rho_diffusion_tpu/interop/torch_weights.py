@@ -241,6 +241,7 @@ def transplant_unet_state_dict(
     resblock_updown: bool = False,
     num_heads: int = 1,
     num_head_channels: int = -1,
+    num_heads_upsample: int = -1,
     use_new_attention_order: bool = False,
     strict: bool = True,
 ) -> dict:
@@ -257,6 +258,14 @@ def transplant_unet_state_dict(
 
     def heads_for(ch: int) -> int:
         return ch // num_head_channels if num_head_channels != -1 else num_heads
+
+    def dec_heads_for(ch: int) -> int:
+        # the reference builds output_blocks attention with
+        # num_heads_upsample (unet_v2.py:648); num_head_channels still wins
+        # inside AttentionBlock when set
+        if num_head_channels != -1:
+            return ch // num_head_channels
+        return num_heads if num_heads_upsample == -1 else num_heads_upsample
 
     params["time_dense_0"] = {
         "kernel": _dense_from_linear(sd("time_embed.0.weight")),
@@ -332,7 +341,7 @@ def transplant_unet_state_dict(
             layer = 1
             if ds in tuple(attention_resolutions):
                 params[f"dec_attn_{level}_{i}"] = _attnblock(
-                    sd, f"output_blocks.{idx}.{layer}", heads_for(ch),
+                    sd, f"output_blocks.{idx}.{layer}", dec_heads_for(ch),
                     use_new_attention_order,
                 )
                 layer += 1
@@ -467,6 +476,7 @@ def export_unet_state_dict(
     resblock_updown: bool = False,
     num_heads: int = 1,
     num_head_channels: int = -1,
+    num_heads_upsample: int = -1,
     use_new_attention_order: bool = False,
 ) -> dict:
     """Convert our flax UNet ``params`` tree into a reference-layout UNetv2
@@ -484,6 +494,12 @@ def export_unet_state_dict(
 
     def heads_for(ch: int) -> int:
         return ch // num_head_channels if num_head_channels != -1 else num_heads
+
+    def dec_heads_for(ch: int) -> int:
+        # output_blocks attention uses num_heads_upsample (unet_v2.py:648)
+        if num_head_channels != -1:
+            return ch // num_head_channels
+        return num_heads if num_heads_upsample == -1 else num_heads_upsample
 
     out["time_embed.0.weight"] = _torch_linear(params["time_dense_0"]["kernel"])
     out["time_embed.0.bias"] = params["time_dense_0"]["bias"]
@@ -544,7 +560,7 @@ def export_unet_state_dict(
             if ds in tuple(attention_resolutions):
                 _export_attnblock(
                     out, f"output_blocks.{idx}.{layer}",
-                    params[f"dec_attn_{level}_{i}"], dims, heads_for(ch),
+                    params[f"dec_attn_{level}_{i}"], dims, dec_heads_for(ch),
                     use_new_attention_order,
                 )
                 layer += 1

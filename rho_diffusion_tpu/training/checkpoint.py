@@ -31,11 +31,30 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, state: TrainState, step: Optional[int] = None, wait: bool = False) -> None:
+    def save(self, state: TrainState, step: Optional[int] = None, wait: bool = False) -> bool:
         step = int(state.step) if step is None else step
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        saved = self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if not saved:
+            # orbax's should_save() refuses steps <= an existing latest step
+            # — e.g. a fresh (non-resumed) run writing into a directory that
+            # still holds a previous run's checkpoints, or a final save
+            # landing on the same step as the epoch-end save. Never skip
+            # silently: a "saved" checkpoint that was not written loses the
+            # run at the next resume (which would restore the STALE step).
+            # Drain any in-flight async save FIRST — deleting a step whose
+            # background serialization is still writing races the deleter
+            # against tensorstore (observed: OSError 39 / NOT_FOUND) — then
+            # overwrite a same-step collision and force past the
+            # stale-latest policy.
+            self._mgr.wait_until_finished()
+            if step in self._mgr.all_steps():
+                self._mgr.delete(step)
+            saved = self._mgr.save(
+                step, args=ocp.args.StandardSave(state), force=True,
+            )
         if wait:
             self._mgr.wait_until_finished()
+        return saved
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -65,7 +84,8 @@ def save_model_weights(params, path: str | Path) -> None:
 _TRANSPLANT_KEYS = (
     "model_channels", "num_res_blocks", "channel_mult",
     "attention_resolutions", "conv_resample", "resblock_updown",
-    "num_heads", "num_head_channels", "use_new_attention_order",
+    "num_heads", "num_head_channels", "num_heads_upsample",
+    "use_new_attention_order",
 )
 
 

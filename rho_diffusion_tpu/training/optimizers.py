@@ -348,8 +348,16 @@ def build_optimizer(
         opt_kwargs.pop("lr", None)
     scale = math.sqrt(world_size)
     if scale != 1.0:
-        lr = opt_kwargs.get("learning_rate", opt_kwargs.get("lr", 1e-3))
-        if callable(lr):
+        lr = opt_kwargs.get("learning_rate", opt_kwargs.get("lr"))
+        if lr is None:
+            # No lr in the config: leave the optimizer factory's own default
+            # in force rather than fabricating one — injecting e.g. 1e-3
+            # would silently override Adafactor's learning_rate=None rule
+            # (and Adamax/NAdam/RMSprop's different defaults) the moment the
+            # device count changes. The sqrt(world_size) scaling only
+            # applies to an EXPLICIT lr.
+            pass
+        elif callable(lr):
             base = lr
             opt_kwargs["learning_rate"] = lambda step: base(step) * scale
         else:

@@ -279,6 +279,17 @@ class Trainer:
         elif resume and self.checkpoints.latest_step() is not None:
             state = self.checkpoints.restore(state)
             self.log({"event": "resumed", "step": int(state.step)})
+        elif self.checkpoints.latest_step() is not None:
+            # fresh run into a directory holding a previous run's steps:
+            # saves force past the stale steps (checkpoint.py:save), but a
+            # later auto-resume picks the numerically LATEST step — warn so
+            # the user clears the dir rather than mixing two runs' history
+            self.log({
+                "event": "stale_checkpoints",
+                "latest_step": int(self.checkpoints.latest_step()),
+                "warning": "starting fresh over existing checkpoints; "
+                "consider a clean checkpoint_dir",
+            })
         cfg = self.config.training
         if cfg.tensor_parallel:
             from rho_diffusion_tpu.parallel.tensor import shard_params_for_tp

@@ -89,6 +89,13 @@ def main() -> None:
         psnrs.append(float(m["psnr"]))
         if real is None:
             real = batch["data"]
+    if real is None:
+        raise SystemExit(
+            f"evaluate: the loader yielded no batches — the dataset "
+            f"({len(dataset)} samples) is smaller than "
+            f"training.batch_size={config.training.batch_size} (drop_last) "
+            f"or --num-batches is 0. Lower the batch size or pass more data.",
+        )
     report["val_loss"] = float(np.mean(losses))
     report["val_psnr"] = float(np.mean(psnrs))
 

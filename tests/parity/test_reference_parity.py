@@ -293,9 +293,12 @@ def test_load_torch_checkpoint_file(ref, tmp_path):
         {"resblock_updown": True},
         {"use_scale_shift_norm": False},
         {"conv_resample": False},
+        # decoder attention uses num_heads_upsample (reference
+        # unet_v2.py:648) — the transplant must split decoder qkv by it
+        {"num_heads": 2, "num_heads_upsample": 4},
     ],
     ids=["new-attn-order", "head-channels", "resblock-updown",
-         "additive-emb", "pool-resample"],
+         "additive-emb", "pool-resample", "heads-upsample"],
 )
 def test_unet_flag_variants_field_mse(ref, flags):
     """Parity across the reference's architecture flags — including the
@@ -307,6 +310,7 @@ def test_unet_flag_variants_field_mse(ref, flags):
         in_channels=1, model_channels=mc, out_channels=1,
         num_res_blocks=nrb, attention_resolutions=attn, channel_mult=mult,
         dims=2, num_heads=flags.get("num_heads", 1),
+        num_heads_upsample=flags.get("num_heads_upsample", -1),
         num_head_channels=flags.get("num_head_channels", -1),
         use_scale_shift_norm=flags.get("use_scale_shift_norm", True),
         resblock_updown=flags.get("resblock_updown", False),
@@ -321,6 +325,7 @@ def test_unet_flag_variants_field_mse(ref, flags):
         conv_resample=kwargs["conv_resample"],
         resblock_updown=kwargs["resblock_updown"],
         num_heads=kwargs["num_heads"],
+        num_heads_upsample=kwargs["num_heads_upsample"],
         num_head_channels=kwargs["num_head_channels"],
         use_new_attention_order=kwargs["use_new_attention_order"],
     )
