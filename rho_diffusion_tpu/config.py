@@ -97,6 +97,11 @@ class TrainingConfig(BaseModel):
     # axis — 1/N memory per device (the reference's commented
     # deepspeed_stage_1, scripts/training.py:139).
     zero1: bool = False
+    # FSDP / ZeRO-3: shard the PARAMETERS too (plus moments and EMA) 1/N
+    # over the data axis; GSPMD inserts the weight all-gathers and gradient
+    # reduce-scatters (parallel/mesh.py:shard_state_fsdp). Mutually
+    # exclusive with zero1 (strict superset).
+    fsdp: bool = False
     # Device-resident dataset cache (single-host, TPU-native addition):
     # upload the collated dataset to HBM once and build each batch as an
     # on-device gather — per-step H2D shrinks from the full batch to a few

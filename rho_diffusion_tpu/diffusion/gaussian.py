@@ -649,6 +649,110 @@ def sample_loop(
     return (x, frames) if progressive else x
 
 
+def _fold_tag(keys: jax.Array, tag: int) -> jax.Array:
+    """Derive a fresh per-row key batch by folding a draw tag into each row."""
+    return jax.vmap(lambda k: jax.random.fold_in(k, tag))(keys)
+
+
+def inpaint_loop(
+    c: GaussianCoefficients,
+    model_fn: Callable,
+    known: jnp.ndarray,
+    mask: jnp.ndarray,
+    rng: jax.Array,
+    mean_type: ModelMeanType,
+    var_type: ModelVarType,
+    sampler: str = "ddpm",
+    eta: float = 0.0,
+    clip_denoised: bool = True,
+    resample_steps: int = 1,
+    cond_grad_fn: Optional[Callable] = None,
+    thresholding_percentile: float = 0.9,
+):
+    """RePaint-style inpainting (Lugmayr et al., arXiv:2201.09865, Alg. 1)
+    as one ``lax.scan`` over the (possibly respaced) trajectory.
+
+    ``known`` is the reference image/volume, ``mask`` is 1 where ``known``
+    must be kept and 0 where content is generated. Each step denoises the
+    unknown region with the trained model while the known region is
+    replaced by a fresh forward-noising ``q_sample(known, t-1)`` at the
+    step's noise level; ``alphas_cumprod_prev[0] == 1`` makes the final
+    projection exact (the known region of the output equals ``known``
+    bit-for-bit up to masking). ``resample_steps`` > 1 re-noises the
+    composite one step forward and re-denoises it U times per level —
+    RePaint's resampling with jump length 1, which harmonises the
+    known/generated boundary at the cost of U model evaluations per step.
+
+    New capability: the reference has no infilling/editing surface at all —
+    its samplers only start from pure noise
+    (/root/reference/rho_diffusion/diffusion/gaussian_diffusion.py:558-652).
+
+    ``rng`` follows the sample_loop contract: a scalar key (batch-wide
+    noise) or a [B] typed key batch (per-row streams; serving-safe).
+    """
+    if sampler not in ("ddpm", "ddim"):
+        raise ValueError(
+            f"inpainting supports 'ddpm' or 'ddim', got {sampler!r} "
+            "(multistep dpm++ has no per-step noise level to project onto)",
+        )
+    if int(resample_steps) < 1:
+        raise ValueError(f"resample_steps must be >= 1, got {resample_steps}")
+    shape = known.shape
+    mask = jnp.broadcast_to(mask.astype(known.dtype), shape)
+    per_row = is_per_sample_keys(rng)
+    if per_row:
+        x = normal_like(keys_at_step(rng, c.num_timesteps), shape)
+        scan_rng = rng
+    else:
+        init_rng, scan_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, shape)
+    x = x.astype(known.dtype)
+    step = p_sample_step if sampler == "ddpm" else ddim_sample_step
+    kw = {"eta": eta} if sampler == "ddim" else {}
+    kw["thresholding_percentile"] = thresholding_percentile
+    U = int(resample_steps)
+
+    def body(carry, t):
+        x, key = carry
+        tt = jnp.full((shape[0],), t, jnp.int32)
+        abar_prev = extract(c.alphas_cumprod_prev, tt, x.ndim)
+        alpha_t = extract(c.alphas_cumprod, tt, x.ndim) / abar_prev
+        live = (t > 0).astype(x.dtype)
+        for u in range(U):  # static unroll; U is small (1-4)
+            if per_row:
+                base = _fold_tag(keys_at_step(key, t), u)
+                k_known, k_step, k_renoise = (
+                    _fold_tag(base, d) for d in range(3)
+                )
+            else:
+                key, k_known, k_step, k_renoise = jax.random.split(key, 4)
+            x_unknown, _ = step(
+                c, model_fn, x, tt, k_step, mean_type, var_type,
+                clip_denoised=clip_denoised, cond_grad_fn=cond_grad_fn, **kw,
+            )
+            x_known = (
+                jnp.sqrt(abar_prev) * known
+                + jnp.sqrt(1.0 - abar_prev)
+                * normal_like(k_known, shape, known.dtype)
+            )
+            x = mask * x_known + (1.0 - mask) * x_unknown
+            if u < U - 1:
+                # RePaint jump: x_{t-1} -> x_t through one forward step;
+                # gated off at t == 0 so extra iterations there re-project
+                # instead of corrupting the final output
+                renoised = (
+                    jnp.sqrt(alpha_t) * x
+                    + jnp.sqrt(1.0 - alpha_t)
+                    * normal_like(k_renoise, shape, known.dtype)
+                )
+                x = live * renoised + (1.0 - live) * x
+        return (x, key), None
+
+    steps = jnp.arange(c.num_timesteps - 1, -1, -1)
+    (x, _), _ = jax.lax.scan(body, (x, scan_rng), steps)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # VLB / training losses (reference :826-1009)
 # ---------------------------------------------------------------------------
@@ -1055,6 +1159,47 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
             x_T=x_T,
             progressive=progressive,
             t_checkpoints=t_checkpoints,
+            thresholding_percentile=self.thresholding_percentile,
+        )
+
+    def inpaint(
+        self,
+        params,
+        rng,
+        known,
+        mask,
+        conditions=None,
+        sampler: str = "ddpm",
+        eta: float = 0.0,
+        num_steps: Optional[int] = None,
+        resample_steps: int = 1,
+        guidance_scale: Optional[float] = None,
+        use_ema_params=None,
+    ):
+        """Regenerate the ``mask == 0`` region of ``known`` (RePaint,
+        arXiv:2201.09865) with all the pipeline's conditioning machinery —
+        class/hash conditions, classifier-free guidance, respacing.
+        ``mask`` broadcasts to ``known``'s shape (1 = keep, 0 = fill).
+
+        The reference framework has no editing/infilling capability; this
+        reuses the same jit-compiled scan machinery as sampling, so the
+        whole inpainting trajectory is one XLA program."""
+        coeffs = self.coeffs
+        if num_steps and num_steps < coeffs.num_timesteps:
+            coeffs = respace(coeffs, num_steps)
+        p = use_ema_params if use_ema_params is not None else params
+        return inpaint_loop(
+            coeffs,
+            self._model_fn(p, conditions, guidance_scale=guidance_scale),
+            known,
+            mask,
+            rng,
+            self.model_mean_type,
+            self.model_var_type,
+            sampler=sampler,
+            eta=eta,
+            clip_denoised=self.clip_denoised,
+            resample_steps=resample_steps,
             thresholding_percentile=self.thresholding_percentile,
         )
 

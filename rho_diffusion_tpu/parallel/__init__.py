@@ -10,6 +10,7 @@ from rho_diffusion_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
     shard_opt_state_zero1,
+    shard_state_fsdp,
 )
 from rho_diffusion_tpu.parallel.context import (  # noqa: F401
     context_sharded_attention,

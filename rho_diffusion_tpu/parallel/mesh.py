@@ -122,17 +122,10 @@ def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, sh)
 
 
-def shard_opt_state_zero1(state, mesh: Mesh, include_ema: bool = True):
-    """Shard optimizer-state leaves (Adam moments, etc.) over the data axis
-    — the TPU-native ZeRO-1 (reference surface: the commented
-    ``strategy='deepspeed_stage_1'``, /root/reference/scripts/training.py:139
-    and the DeepSpeed install line, README.md:30).
-
-    Params stay replicated; the jitted train step then computes the optax
-    update SHARDED (GSPMD propagates the opt-state sharding through the
-    update math) and all-gathers only the parameter deltas — each device
-    stores 1/N of the moments, exactly ZeRO stage 1 semantics.
-    """
+def _data_axis_placer(mesh: Mesh):
+    """Leaf placer sharding the largest divisible dim over the data axis,
+    composing with any sharding the leaf already carries (e.g. TP over the
+    context axis). Leaves too small to split stay replicated."""
     axis_size = mesh.shape[DATA_AXIS]
 
     def place(leaf):
@@ -156,12 +149,61 @@ def shard_opt_state_zero1(state, mesh: Mesh, include_ema: bool = True):
                     break
         return jax.device_put(leaf, NamedSharding(mesh, P(*cur)))
 
+    return place
+
+
+def shard_opt_state_zero1(state, mesh: Mesh, include_ema: bool = True):
+    """Shard optimizer-state leaves (Adam moments, etc.) over the data axis
+    — the TPU-native ZeRO-1 (reference surface: the commented
+    ``strategy='deepspeed_stage_1'``, /root/reference/scripts/training.py:139
+    and the DeepSpeed install line, README.md:30).
+
+    Params stay replicated; the jitted train step then computes the optax
+    update SHARDED (GSPMD propagates the opt-state sharding through the
+    update math) and all-gathers only the parameter deltas — each device
+    stores 1/N of the moments, exactly ZeRO stage 1 semantics.
+    """
+    place = _data_axis_placer(mesh)
+
     new = state.replace(
         opt_state=jax.tree_util.tree_map(place, state.opt_state),
     )
     if include_ema and getattr(state, "ema_params", None) is not None:
         # the EMA shadow is per-parameter state too; sharding it halves the
         # remaining duplicated memory (it is only read back for sampling)
+        new = new.replace(
+            ema_params=jax.tree_util.tree_map(place, state.ema_params),
+        )
+    return new
+
+
+def shard_state_fsdp(state, mesh: Mesh, include_ema: bool = True):
+    """Fully-sharded data parallelism (ZeRO-3 semantics, the scaling-book
+    FSDP recipe): params, Adam moments AND the EMA shadow each live 1/N
+    per device over the data axis, sharded along their largest divisible
+    dim. The jitted train step stays unchanged — GSPMD inserts the
+    weight all-gathers where the forward/backward consume a sharded
+    parameter and reduce-scatters the gradients back to the shards, so
+    per-device memory at rest is (params + moments + EMA)/N plus the
+    transient gathered weights XLA's latency-hiding scheduler overlaps
+    with compute.
+
+    This is a strict superset of :func:`shard_opt_state_zero1` (which
+    leaves params replicated); the two knobs are mutually exclusive in
+    the Trainer. Goes beyond the reference's deepest strategy surface
+    (the commented ``deepspeed_stage_1``,
+    /root/reference/scripts/training.py:139) while needing no wrapper
+    class, no flattening, and no parameter re-materialisation hooks.
+    Composes with tensor parallelism: leaves already sharded over the
+    context axis keep that dim and take the data axis on a free one.
+    """
+    place = _data_axis_placer(mesh)
+
+    new = state.replace(
+        params=jax.tree_util.tree_map(place, state.params),
+        opt_state=jax.tree_util.tree_map(place, state.opt_state),
+    )
+    if include_ema and getattr(state, "ema_params", None) is not None:
         new = new.replace(
             ema_params=jax.tree_util.tree_map(place, state.ema_params),
         )

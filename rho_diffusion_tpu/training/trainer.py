@@ -299,7 +299,16 @@ class Trainer:
             )
         else:
             state = replicate_state(state, self.mesh)
-        if cfg.zero1:
+        if cfg.fsdp and cfg.zero1:
+            raise ValueError(
+                "training.fsdp and training.zero1 are mutually exclusive: "
+                "fsdp (ZeRO-3) already shards the optimizer state",
+            )
+        if cfg.fsdp:
+            from rho_diffusion_tpu.parallel.mesh import shard_state_fsdp
+
+            state = shard_state_fsdp(state, self.mesh)
+        elif cfg.zero1:
             from rho_diffusion_tpu.parallel.mesh import shard_opt_state_zero1
 
             state = shard_opt_state_zero1(state, self.mesh)
