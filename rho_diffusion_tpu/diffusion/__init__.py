@@ -11,8 +11,14 @@ from rho_diffusion_tpu.diffusion.gaussian import (  # noqa: F401
     dynamic_threshold,
     encode_loop,
     respace,
+    respace_subset,
     sample_loop,
     training_losses,
+)
+from rho_diffusion_tpu.diffusion.distill import (  # noqa: F401
+    ProgressiveDistiller,
+    distill_grid,
+    distilled_coefficients,
 )
 from rho_diffusion_tpu.diffusion.schedule import (  # noqa: F401
     CosineBetaSchedule,

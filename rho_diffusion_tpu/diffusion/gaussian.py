@@ -202,6 +202,30 @@ def space_timesteps_lambda(
     return np.sort(np.asarray(out, np.int64))
 
 
+def respace_subset(
+    coeffs: GaussianCoefficients,
+    use: np.ndarray,
+) -> GaussianCoefficients:
+    """Build new coefficients over an EXPLICIT ascending timestep subset:
+    new beta_i = 1 - abar(t_i)/abar(t_{i-1}). The returned ``timestep_map``
+    converts respaced indices back to original model timesteps. Progressive
+    distillation needs exact grid nesting (student grid = every other
+    teacher point), which the count-based :func:`respace` can't express."""
+    acp = np.asarray(coeffs.alphas_cumprod, dtype=np.float64)
+    use = np.asarray(use, np.int64)
+    # compose with an existing respacing so a distilled stage can respace
+    # its own (already strided) grid again
+    tmap = np.asarray(coeffs.timestep_map, np.int64)
+    last_acp = 1.0
+    new_betas = []
+    for t in use:
+        new_betas.append(1.0 - acp[t] / last_acp)
+        last_acp = acp[t]
+    return coefficients_from_betas(
+        np.asarray(new_betas), timestep_map=tmap[use],
+    )
+
+
 def respace(
     coeffs: GaussianCoefficients,
     num_respaced: int,
@@ -212,7 +236,6 @@ def respace(
     converts respaced indices back to original model timesteps.
     ``spacing``: 'uniform-t' (guided-diffusion striding, the DDPM/DDIM
     default) or 'uniform-lambda' (uniform log-SNR, for DPM-Solver++)."""
-    acp = np.asarray(coeffs.alphas_cumprod, dtype=np.float64)
     if spacing == "uniform-lambda":
         use = space_timesteps_lambda(coeffs, num_respaced)
     elif spacing == "uniform-t":
@@ -221,12 +244,7 @@ def respace(
         raise ValueError(
             f"unknown spacing {spacing!r}; expected 'uniform-t' or 'uniform-lambda'",
         )
-    last_acp = 1.0
-    new_betas = []
-    for t in use:
-        new_betas.append(1.0 - acp[t] / last_acp)
-        last_acp = acp[t]
-    return coefficients_from_betas(np.asarray(new_betas), timestep_map=use)
+    return respace_subset(coeffs, use)
 
 
 # ---------------------------------------------------------------------------
