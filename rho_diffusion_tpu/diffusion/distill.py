@@ -243,6 +243,8 @@ class ProgressiveDistiller:
     ):
         """One halving: returns (student_params, losses). ``batches`` is a
         callable ``(update_idx) -> batch`` or an iterable cycled over."""
+        if updates < 1:
+            raise ValueError(f"updates must be >= 1, got {updates}")
         step = self.make_stage_step(n_teacher)
         params = init_params if init_params is not None else teacher_params
         opt_state = self.tx.init(params)
@@ -275,7 +277,10 @@ class ProgressiveDistiller:
     ):
         """Run halvings ``from_steps -> ... -> to_steps``. Returns the
         final student params and per-stage loss curves. Sample the result
-        with ``pipeline.reverse_process(..., num_steps=to_steps)``."""
+        with :meth:`sample` — it uses the trailing distillation grid the
+        student was trained on; ``reverse_process(num_steps=to_steps)``
+        would stride a DIFFERENT (leading uniform-t) grid and evaluate the
+        student at timesteps it was never distilled for."""
         ratio = from_steps // max(to_steps, 1)
         if (
             from_steps < to_steps
@@ -314,9 +319,9 @@ class ProgressiveDistiller:
         from rho_diffusion_tpu.diffusion.gaussian import sample_loop
 
         pipe = self.pipeline
-        c = distilled_coefficients(pipe.coeffs, n_steps)
         key = (shape, n_steps, conditions is not None, guidance_scale)
         if key not in self._sampler_cache:
+            c = distilled_coefficients(pipe.coeffs, n_steps)
             self._sampler_cache[key] = jax.jit(
                 lambda p, r, cond: sample_loop(
                     c,
@@ -336,6 +341,9 @@ class ProgressiveDistiller:
 
 def _cycler(batches):
     batches = list(batches)
+    if not batches:
+        raise ValueError("batches is empty: pass a non-empty iterable "
+                         "or a callable (update_idx) -> batch")
 
     def get(i):
         return batches[i % len(batches)]

@@ -667,11 +667,6 @@ def sample_loop(
     return (x, frames) if progressive else x
 
 
-def _fold_tag(keys: jax.Array, tag: int) -> jax.Array:
-    """Derive a fresh per-row key batch by folding a draw tag into each row."""
-    return jax.vmap(lambda k: jax.random.fold_in(k, tag))(keys)
-
-
 def inpaint_loop(
     c: GaussianCoefficients,
     model_fn: Callable,
@@ -738,9 +733,11 @@ def inpaint_loop(
         live = (t > 0).astype(x.dtype)
         for u in range(U):  # static unroll; U is small (1-4)
             if per_row:
-                base = _fold_tag(keys_at_step(key, t), u)
+                # keys_at_step is generic per-row tag folding: step t, then
+                # resample round u, then draw index d — three nested folds
+                base = keys_at_step(keys_at_step(key, t), u)
                 k_known, k_step, k_renoise = (
-                    _fold_tag(base, d) for d in range(3)
+                    keys_at_step(base, d) for d in range(3)
                 )
             else:
                 key, k_known, k_step, k_renoise = jax.random.split(key, 4)
