@@ -10,6 +10,9 @@ from rho_diffusion_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
     shard_opt_state_zero1,
+    create_state_fsdp,
+    fsdp_abstract_state,
+    fsdp_shardings,
     shard_state_fsdp,
 )
 from rho_diffusion_tpu.parallel.context import (  # noqa: F401

@@ -122,6 +122,19 @@ def replicate_state(state, mesh: Mesh):
     return jax.device_put(state, sh)
 
 
+def _shard_dim(shape, axis_size: int, blocked=()) -> Optional[int]:
+    """The dim to shard over an ``axis_size``-way axis: the LARGEST
+    divisible dim (ties -> trailing), skipping ``blocked`` dims. Chunky
+    shards mean fewer, larger collective segments. None if nothing fits."""
+    divisible = [
+        i for i in range(len(shape))
+        if i not in blocked and shape[i] % axis_size == 0 and shape[i] >= axis_size
+    ]
+    if not divisible:
+        return None
+    return max(divisible, key=lambda i: (shape[i], i))
+
+
 def _data_axis_placer(mesh: Mesh):
     """Leaf placer sharding the largest divisible dim over the data axis,
     composing with any sharding the leaf already carries (e.g. TP over the
@@ -139,14 +152,12 @@ def _data_axis_placer(mesh: Mesh):
             prev = tuple(sh.spec or ())
             cur[: len(prev)] = list(prev)
         if DATA_AXIS not in [s for s in cur if s is not None]:
-            for i in reversed(range(len(leaf.shape))):
-                if (
-                    cur[i] is None
-                    and leaf.shape[i] % axis_size == 0
-                    and leaf.shape[i] >= axis_size
-                ):
-                    cur[i] = DATA_AXIS
-                    break
+            dim = _shard_dim(
+                leaf.shape, axis_size,
+                blocked=[i for i, s in enumerate(cur) if s is not None],
+            )
+            if dim is not None:
+                cur[dim] = DATA_AXIS
         return jax.device_put(leaf, NamedSharding(mesh, P(*cur)))
 
     return place
@@ -208,6 +219,61 @@ def shard_state_fsdp(state, mesh: Mesh, include_ema: bool = True):
             ema_params=jax.tree_util.tree_map(place, state.ema_params),
         )
     return new
+
+
+def fsdp_shardings(state_shapes, mesh: Mesh, include_ema: bool = True):
+    """NamedSharding pytree for a TrainState under FSDP: params, optimizer
+    state and (optionally) the EMA shadow sharded 1/N over the data axis
+    along their largest divisible dim; scalars and everything else
+    replicated. ``state_shapes`` is ``jax.eval_shape`` output (or a
+    concrete state) — only ``.shape`` is read."""
+    axis_size = mesh.shape[DATA_AXIS]
+    repl = NamedSharding(mesh, P())
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        parts: list = [None] * len(shape)
+        dim = _shard_dim(shape, axis_size)
+        if dim is not None:
+            parts[dim] = DATA_AXIS
+        return NamedSharding(mesh, P(*parts))
+
+    sh = jax.tree_util.tree_map(lambda _: repl, state_shapes)
+    sh = sh.replace(
+        params=jax.tree_util.tree_map(spec, state_shapes.params),
+        opt_state=jax.tree_util.tree_map(spec, state_shapes.opt_state),
+    )
+    if include_ema and getattr(state_shapes, "ema_params", None) is not None:
+        sh = sh.replace(
+            ema_params=jax.tree_util.tree_map(spec, state_shapes.ema_params),
+        )
+    return sh
+
+
+def create_state_fsdp(create_fn, rng, mesh: Mesh, include_ema: bool = True):
+    """Initialize a train state DIRECTLY into its FSDP shards: jit the
+    state constructor with ``out_shardings`` so XLA materialises each
+    device's 1/N slice in place — the full params+moments+EMA never exist
+    on any single device. This is what lets ZeRO-3 hold models larger
+    than one chip's HBM from step 0 (``shard_state_fsdp`` re-shards an
+    EXISTING state and therefore needs it to fit somewhere first; use it
+    for checkpoint restores / transplants, this for fresh inits)."""
+    shapes = jax.eval_shape(create_fn, rng)
+    sh = fsdp_shardings(shapes, mesh, include_ema=include_ema)
+    return jax.jit(create_fn, out_shardings=sh)(rng)
+
+
+def fsdp_abstract_state(create_fn, rng, mesh: Mesh, include_ema: bool = True):
+    """Abstract TrainState (ShapeDtypeStruct leaves carrying their FSDP
+    NamedShardings) — the restore-side twin of :func:`create_state_fsdp`:
+    hand it to ``CheckpointManager.restore`` and orbax reads each device's
+    1/N slice straight from disk, no full materialisation anywhere."""
+    shapes = jax.eval_shape(create_fn, rng)
+    sh = fsdp_shardings(shapes, mesh, include_ema=include_ema)
+    return jax.tree_util.tree_map(
+        lambda s, d: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=d),
+        shapes, sh,
+    )
 
 
 def initialize_distributed(**kwargs) -> None:

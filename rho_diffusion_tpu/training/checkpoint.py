@@ -60,12 +60,21 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
-        """Restore into the structure of ``template`` (an abstract or concrete
-        TrainState built the same way as at save time)."""
+        """Restore into the structure of ``template`` — a concrete
+        TrainState, or an abstract one (ShapeDtypeStruct leaves). Leaves
+        carrying a ``sharding`` (concrete sharded arrays, or abstract
+        leaves built via ``jax.ShapeDtypeStruct(..., sharding=...)``)
+        restore DIRECTLY into those shards: each device reads only its 1/N
+        slice from disk, so an FSDP state larger than one device's memory
+        restores without ever materialising fully anywhere."""
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+        abstract = jax.tree_util.tree_map(
+            lambda x: x if isinstance(x, jax.ShapeDtypeStruct)
+            else ocp.utils.to_shape_dtype_struct(x),
+            template,
+        )
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
     def close(self) -> None:

@@ -267,7 +267,34 @@ class Trainer:
     # -- state ----------------------------------------------------------
     def init_state(self, resume: bool = True, weights_path: Optional[str] = None) -> TrainState:
         rng = jax.random.PRNGKey(self.config.training.seed)
-        state = self.pipeline.create_state(rng)
+        cfg = self.config.training
+        if cfg.fsdp and cfg.zero1:
+            raise ValueError(
+                "training.fsdp and training.zero1 are mutually exclusive: "
+                "fsdp (ZeRO-3) already shards the optimizer state",
+            )
+        # FSDP keeps the full state off any single device end to end:
+        # fresh runs initialize DIRECTLY into the 1/N shards (jit +
+        # out_shardings) and resumes restore each device's slice straight
+        # from disk (sharded abstract template), so models larger than a
+        # chip's HBM both start AND resume. Transplants (weights_path)
+        # still build a template state first.
+        resuming = resume and self.checkpoints.latest_step() is not None
+        sharded_init = cfg.fsdp and not cfg.tensor_parallel and not weights_path
+        if sharded_init and resuming:
+            from rho_diffusion_tpu.parallel.mesh import fsdp_abstract_state
+
+            state = self.checkpoints.restore(
+                fsdp_abstract_state(self.pipeline.create_state, rng, self.mesh),
+            )
+        elif sharded_init:
+            from rho_diffusion_tpu.parallel.mesh import create_state_fsdp
+
+            state = create_state_fsdp(
+                self.pipeline.create_state, rng, self.mesh,
+            )
+        else:
+            state = self.pipeline.create_state(rng)
         if weights_path:
             from rho_diffusion_tpu.training.checkpoint import load_weights_auto
 
@@ -276,8 +303,9 @@ class Trainer:
                 model_kwargs=dict(self.config.model.kwargs),
             )
             state = state.replace(params=params)
-        elif resume and self.checkpoints.latest_step() is not None:
-            state = self.checkpoints.restore(state)
+        elif resuming:
+            if not sharded_init:  # sharded restore already happened above
+                state = self.checkpoints.restore(state)
             self.log({"event": "resumed", "step": int(state.step)})
         elif self.checkpoints.latest_step() is not None:
             # fresh run into a directory holding a previous run's steps:
@@ -290,21 +318,19 @@ class Trainer:
                 "warning": "starting fresh over existing checkpoints; "
                 "consider a clean checkpoint_dir",
             })
-        cfg = self.config.training
         if cfg.tensor_parallel:
             from rho_diffusion_tpu.parallel.tensor import shard_params_for_tp
 
             state = shard_params_for_tp(
                 state, self.mesh, min_dim=cfg.tp_min_dim,
             )
-        else:
+        elif not cfg.fsdp:
             state = replicate_state(state, self.mesh)
-        if cfg.fsdp and cfg.zero1:
-            raise ValueError(
-                "training.fsdp and training.zero1 are mutually exclusive: "
-                "fsdp (ZeRO-3) already shards the optimizer state",
-            )
-        if cfg.fsdp:
+        # under fsdp (and no TP) the state goes STRAIGHT from wherever the
+        # template landed to its 1/N shards below — replicating first would
+        # put the full params+moments+EMA on every device and defeat
+        # ZeRO-3's memory point at exactly the moment it matters
+        if cfg.fsdp and not sharded_init:
             from rho_diffusion_tpu.parallel.mesh import shard_state_fsdp
 
             state = shard_state_fsdp(state, self.mesh)

@@ -329,6 +329,53 @@ def test_fsdp_params_sharded_and_loss_matches():
     assert big_sharded(s_f.params), "param sharding lost after train steps"
 
 
+def test_fsdp_sharded_init_matches_replicated():
+    """create_state_fsdp initialises DIRECTLY into the 1/N shards (jit +
+    out_shardings — the full state never lives on one device): values match
+    an unsharded create_state bitwise, big leaves hold 1/8 per device, and
+    a train step from the sharded-init state matches replicated DP."""
+    from rho_diffusion_tpu.parallel import (
+        active_mesh,
+        create_state_fsdp,
+        replicate_state,
+        shard_batch,
+    )
+
+    pipe = _attn_pipe()
+    rng = np.random.default_rng(7)
+    batch = {
+        "data": rng.uniform(-1, 1, (8, 8, 8, 1)).astype(np.float32),
+        "labels": None,
+    }
+    mesh = make_mesh(data=8, context=1)
+
+    with active_mesh(mesh):
+        s_f = create_state_fsdp(pipe.create_state, jax.random.PRNGKey(0), mesh)
+        s_rep = replicate_state(pipe.create_state(jax.random.PRNGKey(0)), mesh)
+
+        # identical init values despite the sharded materialisation
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_f.params),
+            jax.tree_util.tree_leaves(s_rep.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+        big = max(
+            jax.tree_util.tree_leaves(s_f.params), key=lambda l: l.size,
+        )
+        assert any(s is not None for s in (big.sharding.spec or ())), (
+            "largest param should be sharded over the data axis"
+        )
+        assert big.addressable_shards[0].data.size == big.size // 8
+
+        s_f, m_f = pipe.train_step(s_f, shard_batch(dict(batch), mesh))
+        s_rep, m_rep = pipe.train_step(s_rep, shard_batch(dict(batch), mesh))
+
+    np.testing.assert_allclose(
+        float(m_f["train_loss"]), float(m_rep["train_loss"]), rtol=2e-5,
+    )
+
+
 def test_spatial_sharded_conv3d_exact():
     """Halo-exchange depth-sharded conv == unsharded SAME conv, values and
     gradients (ppermute's non-cyclic zeros reproduce SAME padding)."""

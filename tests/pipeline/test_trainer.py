@@ -228,6 +228,43 @@ def test_sharded_checkpoint_roundtrip_tp_zero1(tmp_path):
     assert int(state2.step) == int(state.step) + 2
 
 
+def test_fsdp_checkpoint_roundtrip_sharded_restore(tmp_path):
+    """ZeRO-3 end to end without full materialisation: a fresh FSDP run
+    initialises straight into its shards (create_state_fsdp), checkpoints,
+    and a second Trainer resumes through the sharded abstract template
+    (fsdp_abstract_state) — every restored param/moment leaf big enough to
+    split carries a data-axis sharding, values match, training continues."""
+    import jax
+
+    config = _config(
+        tmp_path, mesh={"data": 8, "context": 1},
+        fsdp=True, save_checkpoint_every_n_epochs=1,
+    )
+    trainer = Trainer(config, dataset=ToyDataset(), work_dir=tmp_path)
+    state = trainer.init_state()
+    sharded = [
+        l for l in jax.tree_util.tree_leaves(state.params)
+        if "data" in (getattr(getattr(l, "sharding", None), "spec", None) or ())
+    ]
+    assert sharded, "fresh FSDP init should be sharded over the data axis"
+    state = trainer.fit(state, max_epochs=1)
+    trainer.checkpoints.close()
+
+    trainer2 = Trainer(config, dataset=ToyDataset(), work_dir=tmp_path)
+    resumed = trainer2.init_state(resume=True)
+    assert int(resumed.step) == int(state.step)
+    np.testing.assert_array_equal(
+        np.asarray(jtu_first(resumed.params)), np.asarray(jtu_first(state.params)),
+    )
+    for tree, name in ((resumed.params, "params"), (resumed.opt_state, "moments")):
+        assert [
+            l for l in jax.tree_util.tree_leaves(tree)
+            if "data" in (getattr(getattr(l, "sharding", None), "spec", None) or ())
+        ], f"restored {name} lost their FSDP sharding"
+    state2 = trainer2.fit(resumed, max_epochs=1)
+    assert int(state2.step) == int(state.step) + 2
+
+
 def test_preemption_checkpoints_and_exits(tmp_path):
     """SIGTERM mid-training must checkpoint the full state and return
     cleanly (checkpoint-on-signal; neither reference nor round 1 had it)."""
