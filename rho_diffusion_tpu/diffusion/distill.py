@@ -50,14 +50,16 @@ def distill_grid(num_timesteps: int, n: int) -> np.ndarray:
     every-other-point subset IS the trailing grid of n/2 — so each
     halving stage's student grid is exactly the next stage's teacher
     grid, and every stage tops out at t = T-1 (full noise). The bottom
-    step still denoises to x0 through ``alphas_cumprod_prev[0] == 1``."""
-    frac = num_timesteps / n
-    use = np.round(np.arange(1, n + 1) * frac).astype(np.int64) - 1
-    if len(np.unique(use)) != n:
+    step still denoises to x0 through ``alphas_cumprod_prev[0] == 1``.
+    Also reachable as ``respace(coeffs, n, spacing='trailing')`` /
+    ``reverse_process(num_steps=n, spacing='trailing')``."""
+    from rho_diffusion_tpu.diffusion.gaussian import space_timesteps_trailing
+
+    if n >= num_timesteps:
         raise ValueError(
-            f"cannot stride {num_timesteps} timesteps to {n} distinct points",
+            f"distillation grid needs n < num_timesteps; got {n} >= {num_timesteps}",
         )
-    return use
+    return space_timesteps_trailing(num_timesteps, n)
 
 
 def distilled_coefficients(

@@ -165,6 +165,23 @@ def space_timesteps(num_timesteps: int, num_respaced: int) -> np.ndarray:
     return np.round(np.arange(num_respaced) * frac).astype(np.int64)
 
 
+def space_timesteps_trailing(num_timesteps: int, num_respaced: int) -> np.ndarray:
+    """Trailing grid t_i = round((i+1)·T/n) - 1: anchors at t = T-1 (full
+    noise) instead of t = 0, and is exactly CLOSED UNDER HALVING (its
+    every-other-point subset is the n/2 trailing grid) — the grid
+    progressive distillation trains on (diffusion/distill.py). Use this
+    spacing when sampling a distilled student through the pipeline API."""
+    if num_respaced >= num_timesteps:
+        return np.arange(num_timesteps)
+    frac = num_timesteps / num_respaced
+    use = np.round(np.arange(1, num_respaced + 1) * frac).astype(np.int64) - 1
+    if len(np.unique(use)) != num_respaced:
+        raise ValueError(
+            f"cannot stride {num_timesteps} timesteps to {num_respaced} distinct points",
+        )
+    return use
+
+
 def space_timesteps_lambda(
     coeffs: GaussianCoefficients, num_respaced: int,
 ) -> np.ndarray:
@@ -235,14 +252,19 @@ def respace(
     beta_i = 1 - abar(t_i)/abar(t_{i-1}). The returned ``timestep_map``
     converts respaced indices back to original model timesteps.
     ``spacing``: 'uniform-t' (guided-diffusion striding, the DDPM/DDIM
-    default) or 'uniform-lambda' (uniform log-SNR, for DPM-Solver++)."""
+    default), 'uniform-lambda' (uniform log-SNR, for DPM-Solver++), or
+    'trailing' (halving-closed distillation grid — what a distilled
+    student was trained on)."""
     if spacing == "uniform-lambda":
         use = space_timesteps_lambda(coeffs, num_respaced)
     elif spacing == "uniform-t":
         use = space_timesteps(coeffs.num_timesteps, num_respaced)
+    elif spacing == "trailing":
+        use = space_timesteps_trailing(coeffs.num_timesteps, num_respaced)
     else:
         raise ValueError(
-            f"unknown spacing {spacing!r}; expected 'uniform-t' or 'uniform-lambda'",
+            f"unknown spacing {spacing!r}; expected 'uniform-t', "
+            f"'uniform-lambda' or 'trailing'",
         )
     return respace_subset(coeffs, use)
 
@@ -1137,19 +1159,22 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         use_ema_params=None,
         t_checkpoints=None,
         guidance_scale: Optional[float] = None,
+        spacing: Optional[str] = None,
     ):
         """DDIM (default, like the reference's reverse_process :1029-1099) or
         ancestral sampling, optionally respaced to ``num_steps`` steps.
         ``t_checkpoints`` (here or at construction) returns
         ``(final, frames[K])`` — the reference's intermediate-frame buffer.
         ``guidance_scale`` != 1 applies classifier-free guidance (needs a
-        model trained with ``cond_dropout`` > 0)."""
+        model trained with ``cond_dropout`` > 0). ``spacing`` overrides the
+        respacing grid (default: uniform log-SNR for dpm++, uniform-t
+        otherwise; pass 'trailing' when sampling a distilled student)."""
         coeffs = self.coeffs
         if num_steps and num_steps < coeffs.num_timesteps:
             coeffs = respace(
                 coeffs,
                 num_steps,
-                spacing=(
+                spacing=spacing or (
                     "uniform-lambda"
                     if sampler in ("dpm++", "dpmpp")
                     else "uniform-t"
@@ -1231,6 +1256,7 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         num_steps: Optional[int] = None,
         eta: float = 0.0,
         guidance_scale: Optional[float] = None,
+        spacing: Optional[str] = None,
     ):
         """Deterministic eval-grid generation (reference generate :1102-1146
         draws sequential parameter-space rows, random=False)."""
@@ -1256,13 +1282,13 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
 
         key = (
             "gauss", shape, conditions is not None, sampler, num_steps, eta,
-            guidance_scale, get_conv_quant(),
+            guidance_scale, get_conv_quant(), spacing,
         )
         if key not in self._sampler_cache:
             self._sampler_cache[key] = jax.jit(
                 lambda p, r, c: self.reverse_process(
                     p, r, shape, c, sampler=sampler, num_steps=num_steps, eta=eta,
-                    guidance_scale=guidance_scale,
+                    guidance_scale=guidance_scale, spacing=spacing,
                     t_checkpoints=(),  # final samples only, never the buffer
                 ),
             )

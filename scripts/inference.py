@@ -40,6 +40,12 @@ def main() -> None:
     parser.add_argument("--sampler", default=None, choices=["ddpm", "ddim", "dpm++"])
     parser.add_argument("--steps", type=int, default=None, help="respaced sampling steps")
     parser.add_argument(
+        "--spacing", default=None,
+        choices=["uniform-t", "uniform-lambda", "trailing"],
+        help="respacing grid (default: uniform-lambda for dpm++, uniform-t "
+        "otherwise; 'trailing' for checkpoints from scripts/distill.py)",
+    )
+    parser.add_argument(
         "--guidance", type=float, default=None,
         help="classifier-free guidance scale (1.0 = off; needs a model "
         "trained with cond_dropout > 0)",
@@ -111,7 +117,10 @@ def main() -> None:
     )
     kwargs = {"guidance_scale": guidance}
     if hasattr(pipeline, "coeffs"):  # GaussianDiffusion family
-        kwargs.update({"sampler": sampler, "num_steps": num_steps})
+        kwargs.update({
+            "sampler": sampler, "num_steps": num_steps,
+            "spacing": args.spacing,
+        })
     samples = pipeline.generate(
         params,
         jax.random.PRNGKey(config.inference.seed),
