@@ -16,7 +16,10 @@ configuration surface onto the GaussianDiffusionPipeline:
   first-class ModelMeanType here);
 * ``variance_type``: "fixed_small(_log)" | "fixed_large(_log)" |
   "learned" | "learned_range";
-* ``clip_sample`` / inline grad-norm clip to 1.0 (diffusers.py:125-134).
+* ``clip_sample`` / inline grad-norm clip to 1.0 (diffusers.py:125-134);
+* ``rescale_betas_zero_snr``: Lin et al. (arXiv:2305.08891) zero-terminal-
+  SNR rescale — pairs with prediction_type="v_prediction"; sampling then
+  defaults to trailing spacing and DDIM NaN-free at alpha_bar_T == 0.
 
 The reference scripts' configuration (squaredcos_cap_v2 / epsilon /
 fixed_large, scripts/training.py:86-95) remains the default.
@@ -64,6 +67,7 @@ class DiffusersDDPMPipeline(GaussianDiffusionPipeline):
         variance_type: str = "fixed_large",
         clip_sample: bool = True,
         clip_grad_norm: float = 1.0,
+        rescale_betas_zero_snr: bool = False,
         **kwargs,
     ) -> None:
         # T stays None when the caller supplied a ready schedule without an
@@ -88,6 +92,14 @@ class DiffusersDDPMPipeline(GaussianDiffusionPipeline):
                 )
             schedule = named_beta_schedule(
                 beta_schedule, T or 1000, beta_start=beta_start, beta_end=beta_end,
+                zero_terminal_snr=rescale_betas_zero_snr,
+            )
+        elif rescale_betas_zero_snr:
+            raise ValueError(
+                "rescale_betas_zero_snr requires building the schedule here "
+                "(float64 rescale before table construction) — pass "
+                "beta_schedule/beta_start/beta_end instead of a ready "
+                "schedule object",
             )
         if prediction_type not in _PREDICTION_TYPES:
             raise ValueError(

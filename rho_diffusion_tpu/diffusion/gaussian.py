@@ -110,6 +110,11 @@ class GaussianCoefficients:
         return int(self.betas.shape[0])
 
 
+def _with_div_ignore(fn):
+    with np.errstate(divide="ignore"):
+        return fn()
+
+
 def coefficients_from_betas(
     betas: np.ndarray, timestep_map: Optional[np.ndarray] = None,
 ) -> GaussianCoefficients:
@@ -139,8 +144,12 @@ def coefficients_from_betas(
         sqrt_alphas_cumprod=f32(np.sqrt(acp)),
         sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - acp)),
         log_one_minus_alphas_cumprod=f32(np.log(1.0 - acp)),
-        sqrt_recip_alphas_cumprod=f32(np.sqrt(1.0 / acp)),
-        sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / acp - 1.0)),
+        # zero-terminal-SNR schedules (rescale_zero_terminal_snr) have
+        # alpha_bar_T == 0: the reciprocal tables are inf there by design
+        # (only the EPSILON mean type reads them at t = T-1, and that
+        # combination is rejected at pipeline construction)
+        sqrt_recip_alphas_cumprod=f32(_with_div_ignore(lambda: np.sqrt(1.0 / acp))),
+        sqrt_recipm1_alphas_cumprod=f32(_with_div_ignore(lambda: np.sqrt(1.0 / acp - 1.0))),
         posterior_variance=f32(posterior_variance),
         posterior_log_variance_clipped=f32(posterior_log_variance_clipped),
         posterior_mean_coef1=f32(betas * np.sqrt(acp_prev) / (1.0 - acp)),
@@ -328,9 +337,16 @@ def velocity_target(c: GaussianCoefficients, x_start, t, noise):
 
 
 def predict_eps_from_xstart(c: GaussianCoefficients, x_t, t, pred_xstart):
+    """eps = (x_t - sqrt(abar)*x0) / sqrt(1-abar).
+
+    Algebraically identical to the reference's reciprocal form
+    ``(x_t/sqrt(abar) - x0) / sqrt(1/abar - 1)`` (gaussian_diffusion.py:
+    462-470) but finite at alpha_bar == 0, so DDIM sampling works on
+    zero-terminal-SNR schedules (the reciprocal form is inf/inf = NaN at
+    the terminal step)."""
     return (
-        extract(c.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t - pred_xstart
-    ) / extract(c.sqrt_recipm1_alphas_cumprod, t, x_t.ndim)
+        x_t - extract(c.sqrt_alphas_cumprod, t, x_t.ndim) * pred_xstart
+    ) / extract(c.sqrt_one_minus_alphas_cumprod, t, x_t.ndim)
 
 
 def dynamic_threshold(x: jnp.ndarray, percentile: float = 0.9) -> jnp.ndarray:
@@ -483,9 +499,7 @@ def ddim_reverse_step(c, model_fn, x, t, mean_type, var_type, clip_denoised=True
     out = p_mean_variance(
         c, model_fn, x, t, mean_type, var_type, clip_denoised=clip_denoised, **kw,
     )
-    eps = (
-        extract(c.sqrt_recip_alphas_cumprod, t, x.ndim) * x - out["pred_xstart"]
-    ) / extract(c.sqrt_recipm1_alphas_cumprod, t, x.ndim)
+    eps = predict_eps_from_xstart(c, x, t, out["pred_xstart"])
     alpha_bar_next = extract(c.alphas_cumprod_next, t, x.ndim)
     sample = (
         out["pred_xstart"] * jnp.sqrt(alpha_bar_next)
@@ -1052,6 +1066,15 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         self.model_var_type = as_enum(ModelVarType, model_var_type)
         self.loss_type = as_enum(LossType, loss_type)
         self.coeffs = coefficients_from_schedule(schedule)
+        self._zero_terminal_snr = float(self.coeffs.alphas_cumprod[-1]) == 0.0
+        if self._zero_terminal_snr and self.model_mean_type == ModelMeanType.EPSILON:
+            raise ValueError(
+                "zero-terminal-SNR schedule (alpha_bar_T == 0) with "
+                "epsilon-prediction: x0 is unrecoverable from eps at the "
+                "terminal step (arXiv:2305.08891). Use "
+                "model_mean_type='v_prediction' (or 'x_start') with "
+                "rescale_betas_zero_snr.",
+            )
         self.clip_denoised = clip_denoised
         self.thresholding_percentile = thresholding_percentile
         self.sampling_batch_size = sampling_batch_size
@@ -1170,12 +1193,25 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         respacing grid (default: uniform log-SNR for dpm++, uniform-t
         otherwise; pass 'trailing' when sampling a distilled student)."""
         coeffs = self.coeffs
+        zero_snr = getattr(self, "_zero_terminal_snr", False)
+        if zero_snr and sampler in ("dpm++", "dpmpp"):
+            raise ValueError(
+                "DPM-Solver++ operates in log-SNR (lambda) space, which is "
+                "-inf at the zero-SNR terminal step; sample zero-terminal-"
+                "SNR schedules with 'ddim' or 'ddpm' instead.",
+            )
         if num_steps and num_steps < coeffs.num_timesteps:
             coeffs = respace(
                 coeffs,
                 num_steps,
+                # zero-terminal-SNR sampling must anchor the respaced grid
+                # at t = T-1 (alpha_bar == 0) or x_T = pure noise is fed to
+                # a step whose schedule entry still has signal — exactly
+                # the mismatch the rescale exists to fix (arXiv:2305.08891
+                # §3.2 prescribes trailing spacing)
                 spacing=spacing or (
-                    "uniform-lambda"
+                    "trailing" if zero_snr
+                    else "uniform-lambda"
                     if sampler in ("dpm++", "dpmpp")
                     else "uniform-t"
                 ),
@@ -1226,7 +1262,15 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         whole inpainting trajectory is one XLA program."""
         coeffs = self.coeffs
         if num_steps and num_steps < coeffs.num_timesteps:
-            coeffs = respace(coeffs, num_steps)
+            coeffs = respace(
+                coeffs,
+                num_steps,
+                # same anchoring rule as reverse_process: zero-terminal-SNR
+                # grids must include t = T-1
+                spacing="trailing"
+                if getattr(self, "_zero_terminal_snr", False)
+                else "uniform-t",
+            )
         p = use_ema_params if use_ema_params is not None else params
         return inpaint_loop(
             coeffs,

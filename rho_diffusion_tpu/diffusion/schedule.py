@@ -39,6 +39,7 @@ __all__ = [
     "CosineBetaSchedule",
     "SigmoidSchedule",
     "named_beta_schedule",
+    "rescale_zero_terminal_snr",
     "schedule_from_betas",
 ]
 
@@ -100,9 +101,14 @@ def schedule_from_betas(beta: np.ndarray) -> NoiseSchedule:
     turns alpha negative and every sqrt NaN. We fail loudly instead.
     """
     beta = np.asarray(beta, dtype=np.float64)
-    if not ((beta > 0.0) & (beta < 1.0)).all():
+    # beta == 1 is legal ONLY at the terminal step (alpha_bar_T == 0, the
+    # zero-terminal-SNR convention of rescale_zero_terminal_snr); anywhere
+    # earlier it would zero every later alpha_bar and break the posterior.
+    interior_ok = ((beta[:-1] > 0.0) & (beta[:-1] < 1.0)).all()
+    if not (interior_ok and 0.0 < beta[-1] <= 1.0):
         raise ValueError(
-            f"betas must lie in (0, 1); got range [{beta.min():.4g}, "
+            f"betas must lie in (0, 1) (terminal beta may be exactly 1 for "
+            f"zero-terminal-SNR schedules); got range [{beta.min():.4g}, "
             f"{beta.max():.4g}]. With the reference's 1000/T scaling, small "
             f"num_steps needs proportionally smaller beta_1/beta_T.",
         )
@@ -210,11 +216,33 @@ def SigmoidSchedule(
     return schedule_from_betas(beta)
 
 
+def rescale_zero_terminal_snr(beta: np.ndarray) -> np.ndarray:
+    """Rescale betas so the terminal SNR is exactly zero (Lin et al.,
+    arXiv:2305.08891 Alg. 1 — the fix for the "diffusion never actually
+    reaches pure noise" flaw; the HF surface the reference's diffusers
+    pipeline could reach exposes it as DDPMScheduler(rescale_betas_zero_snr)).
+
+    Operates on sqrt(alpha_bar) in float64: shift so the terminal value is 0,
+    rescale so the first value is preserved, then recover betas from the
+    consecutive alpha_bar ratios. The returned terminal beta is exactly 1
+    (alpha_bar_T == 0), which epsilon-prediction cannot sample from —
+    pair this with v-prediction (or x0-prediction), as the paper prescribes.
+    """
+    beta = np.asarray(beta, dtype=np.float64)
+    s = np.sqrt(np.cumprod(1.0 - beta))  # sqrt(alpha_bar), decreasing
+    s0, sT = s[0], s[-1]
+    s = (s - sT) * s0 / (s0 - sT)
+    abar = s**2
+    alpha = abar / np.concatenate([[1.0], abar[:-1]])
+    return 1.0 - alpha
+
+
 def named_beta_schedule(
     name: str,
     num_steps: int,
     beta_start: float | None = None,
     beta_end: float | None = None,
+    zero_terminal_snr: bool = False,
 ) -> NoiseSchedule:
     """Named beta schedules used by the GaussianDiffusion pipeline
     (reference gaussian_diffusion.py:45-89) plus the HF DDPMScheduler
@@ -238,25 +266,31 @@ def named_beta_schedule(
             f"(guided-diffusion defaults); got beta_start={beta_start}, "
             f"beta_end={beta_end}",
         )
+
+    def _finish(beta: np.ndarray) -> NoiseSchedule:
+        if zero_terminal_snr:
+            beta = rescale_zero_terminal_snr(beta)
+        return schedule_from_betas(beta)
+
     if name == "linear":
         if beta_start is None and beta_end is None:
             scale = 1000.0 / num_steps
             beta_start, beta_end = scale * 0.0001, scale * 0.02
         beta = np.linspace(beta_start, beta_end, num_steps, dtype=np.float64)
-        return schedule_from_betas(beta)
+        return _finish(beta)
     if name == "scaled_linear":
         beta = np.linspace(
             math.sqrt(beta_start if beta_start is not None else 0.0001),
             math.sqrt(beta_end if beta_end is not None else 0.02),
             num_steps, dtype=np.float64,
         ) ** 2
-        return schedule_from_betas(beta)
+        return _finish(beta)
     if name == "sigmoid":
         bs = beta_start if beta_start is not None else 0.0001
         be = beta_end if beta_end is not None else 0.02
         x = np.linspace(-6.0, 6.0, num_steps, dtype=np.float64)
         beta = 1.0 / (1.0 + np.exp(-x)) * (be - bs) + bs
-        return schedule_from_betas(beta)
+        return _finish(beta)
     if name in ("cosine", "squaredcos_cap_v2"):
         def alpha_bar_fn(s):
             return math.cos((s + 0.008) / 1.008 * math.pi / 2) ** 2
@@ -271,5 +305,5 @@ def named_beta_schedule(
             ],
             dtype=np.float64,
         )
-        return schedule_from_betas(beta)
+        return _finish(beta)
     raise ValueError(f"Unknown named beta schedule '{name}'")

@@ -69,7 +69,12 @@ def test_named_beta_schedules():
 def test_registry_membership():
     """All three schedules resolvable by name (test_schedule.py:49-53)."""
     for name in s.__all__:
-        if name in ("NoiseSchedule", "named_beta_schedule", "schedule_from_betas"):
+        if name in (
+            "NoiseSchedule",
+            "named_beta_schedule",
+            "schedule_from_betas",
+            "rescale_zero_terminal_snr",  # beta transform, not a schedule class
+        ):
             continue
         assert registry.get("schedules", name)
 
