@@ -98,9 +98,13 @@ real = np.stack([
 w = WassersteinWrapper()
 
 
-def run(sampler: str, num_steps: int, quant: str | None = None) -> dict:
+def run(
+    sampler: str, num_steps: int, quant: str | None = None,
+    spacing: str | None = None,
+) -> dict:
     """One sampler config; quant='int8' traces the same checkpoint through
-    the W8A8 conv path (ops/quant.py) — quality cost of quantized serving."""
+    the W8A8 conv path (ops/quant.py) — quality cost of quantized serving.
+    spacing overrides the respacing grid (e.g. 'karras')."""
     from contextlib import nullcontext
 
     from rho_diffusion_tpu.ops.quant import conv_quant
@@ -108,7 +112,7 @@ def run(sampler: str, num_steps: int, quant: str | None = None) -> dict:
     with conv_quant(quant) if quant else nullcontext():
         fn = jax.jit(lambda p, r, c: sampler_pipe.reverse_process(
             p, r, sampler_pipe.sample_shape(BATCH), c,
-            sampler=sampler, num_steps=num_steps,
+            sampler=sampler, num_steps=num_steps, spacing=spacing,
         ))
         samples = np.asarray(fn(params, jax.random.PRNGKey(5), conds))  # compile
         t0 = time.perf_counter()
@@ -122,22 +126,37 @@ def run(sampler: str, num_steps: int, quant: str | None = None) -> dict:
     }
     if quant:
         row["quant"] = quant
+    if spacing:
+        row["spacing"] = spacing
     print(row, flush=True)
     return row
 
 
-rows = [
-    run("dpm++", 5),
-    run("dpm++", 10),
-    run("dpm++", 15),
-    run("ddim", 10),
-    run("ddim", 25),
-    run("ddim", 50),
-    run("ddim", 100),
-    run("ddpm", 1000),
-    run("dpm++", 10, quant="int8"),
-    run("ddim", 50, quant="int8"),
-]
+import os
+
+if os.environ.get("SQ_ROWS") == "karras":
+    # focused A/B: Karras rho=7 grid vs the uniform-t default at equal cost
+    rows = [
+        run("ddim", 10),
+        run("ddim", 10, spacing="karras"),
+        run("ddim", 25),
+        run("ddim", 25, spacing="karras"),
+        run("ddim", 50),
+        run("ddim", 50, spacing="karras"),
+    ]
+else:
+    rows = [
+        run("dpm++", 5),
+        run("dpm++", 10),
+        run("dpm++", 15),
+        run("ddim", 10),
+        run("ddim", 25),
+        run("ddim", 50),
+        run("ddim", 100),
+        run("ddpm", 1000),
+        run("dpm++", 10, quant="int8"),
+        run("ddim", 50, quant="int8"),
+    ]
 noise_div = float(np.mean(np.asarray(w(
     jax.random.normal(jax.random.PRNGKey(0), real.shape), jnp.asarray(real),
 ))))
@@ -148,6 +167,11 @@ out = {
     "sinkhorn_noise_baseline": round(noise_div, 2),
     "rows": rows,
 }
-with open(os.path.join(OUT, "sampler_quality.json"), "w") as f:
+name = (
+    "sampler_quality_karras.json"
+    if os.environ.get("SQ_ROWS") == "karras"
+    else "sampler_quality.json"
+)
+with open(os.path.join(OUT, name), "w") as f:
     json.dump(out, f, indent=2)
-print("wrote docs/demo/sampler_quality.json", flush=True)
+print(f"wrote docs/demo/{name}", flush=True)

@@ -204,28 +204,59 @@ def space_timesteps_lambda(
     abar = np.asarray(coeffs.alphas_cumprod, np.float64)
     lam = 0.5 * np.log(abar / (1.0 - abar))  # decreasing in t
     targets = np.linspace(lam[-1], lam[0], num_respaced)
-    # Exactly num_respaced UNIQUE steps: on a grid that is coarse in lambda
-    # (small T, steep cosine tail) several targets snap to the same index;
-    # a plain argmin+unique would silently return fewer model evaluations
-    # than the caller asked for. Greedily spill collisions to the nearest
-    # free neighbour instead (num_respaced < T guarantees one exists).
-    dist = np.abs(lam[None, :] - targets[:, None])  # [K, T]
-    taken = np.zeros(lam.shape[0], bool)
+    return _snap_targets_unique(lam, targets)
+
+
+def _snap_targets_unique(values: np.ndarray, targets: np.ndarray) -> np.ndarray:
+    """Snap each target to the nearest timestep by ``values[t]``, with
+    exactly ``len(targets)`` UNIQUE steps: on a grid that is coarse in the
+    target coordinate (small T, steep cosine tail) several targets snap to
+    the same index; a plain argmin+unique would silently return fewer model
+    evaluations than the caller asked for. Greedily spill collisions to the
+    nearest free neighbour instead (len(targets) < T guarantees one exists).
+    """
+    dist = np.abs(values[None, :] - targets[:, None])  # [K, T]
+    taken = np.zeros(values.shape[0], bool)
     out = []
-    for k in range(num_respaced):
+    for k in range(targets.shape[0]):
         cand = int(dist[k].argmin())
         offset = 1
         while taken[cand]:
             lo, hi = cand - offset, cand + offset
             if lo >= 0 and not taken[lo]:
                 cand = lo
-            elif hi < lam.shape[0] and not taken[hi]:
+            elif hi < values.shape[0] and not taken[hi]:
                 cand = hi
             else:
                 offset += 1
         taken[cand] = True
         out.append(cand)
     return np.sort(np.asarray(out, np.int64))
+
+
+def space_timesteps_karras(
+    coeffs: GaussianCoefficients, num_respaced: int, rho: float = 7.0,
+) -> np.ndarray:
+    """Karras et al. (arXiv:2206.00364 eq. 5) noise grid snapped to the
+    discrete timestep table: sigma_i^(1/rho) interpolated linearly between
+    sigma_max^(1/rho) (t = T-1) and sigma_min^(1/rho) (t = 0), with the VP
+    sigma(t) = sqrt((1-abar)/abar). rho=7 concentrates steps near
+    sigma_min, where the probability-flow ODE's curvature concentrates —
+    a quality lever for few-step DDIM on regular (nonzero-terminal-SNR)
+    schedules. Always includes the terminal step (sigma_max is the first
+    grid point)."""
+    if num_respaced >= coeffs.num_timesteps:
+        return np.arange(coeffs.num_timesteps)
+    abar = np.asarray(coeffs.alphas_cumprod, np.float64)
+    if abar[-1] == 0.0:
+        raise ValueError(
+            "karras spacing needs a finite sigma_max; the zero-terminal-SNR "
+            "table has sigma(T-1) = inf — use 'trailing' spacing there",
+        )
+    sigma = np.sqrt((1.0 - abar) / abar)  # increasing in t
+    inv = 1.0 / rho
+    grid = np.linspace(sigma[-1] ** inv, sigma[0] ** inv, num_respaced) ** rho
+    return _snap_targets_unique(sigma, grid)
 
 
 def respace_subset(
@@ -261,19 +292,22 @@ def respace(
     beta_i = 1 - abar(t_i)/abar(t_{i-1}). The returned ``timestep_map``
     converts respaced indices back to original model timesteps.
     ``spacing``: 'uniform-t' (guided-diffusion striding, the DDPM/DDIM
-    default), 'uniform-lambda' (uniform log-SNR, for DPM-Solver++), or
+    default), 'uniform-lambda' (uniform log-SNR, for DPM-Solver++),
     'trailing' (halving-closed distillation grid — what a distilled
-    student was trained on)."""
+    student was trained on), or 'karras' (Karras rho=7 sigma grid,
+    terminal-anchored and dense near sigma_min)."""
     if spacing == "uniform-lambda":
         use = space_timesteps_lambda(coeffs, num_respaced)
     elif spacing == "uniform-t":
         use = space_timesteps(coeffs.num_timesteps, num_respaced)
     elif spacing == "trailing":
         use = space_timesteps_trailing(coeffs.num_timesteps, num_respaced)
+    elif spacing == "karras":
+        use = space_timesteps_karras(coeffs, num_respaced)
     else:
         raise ValueError(
             f"unknown spacing {spacing!r}; expected 'uniform-t', "
-            f"'uniform-lambda' or 'trailing'",
+            f"'uniform-lambda', 'trailing' or 'karras'",
         )
     return respace_subset(coeffs, use)
 
@@ -1190,8 +1224,10 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         ``(final, frames[K])`` — the reference's intermediate-frame buffer.
         ``guidance_scale`` != 1 applies classifier-free guidance (needs a
         model trained with ``cond_dropout`` > 0). ``spacing`` overrides the
-        respacing grid (default: uniform log-SNR for dpm++, uniform-t
-        otherwise; pass 'trailing' when sampling a distilled student)."""
+        respacing grid (default: uniform log-SNR for dpm++, trailing for
+        zero-terminal-SNR schedules, uniform-t otherwise; pass 'trailing'
+        when sampling a distilled student, 'karras' for the rho=7 sigma
+        grid)."""
         coeffs = self.coeffs
         zero_snr = getattr(self, "_zero_terminal_snr", False)
         if zero_snr and sampler in ("dpm++", "dpmpp"):
@@ -1199,6 +1235,12 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
                 "DPM-Solver++ operates in log-SNR (lambda) space, which is "
                 "-inf at the zero-SNR terminal step; sample zero-terminal-"
                 "SNR schedules with 'ddim' or 'ddpm' instead.",
+            )
+        if zero_snr and cond_grad_fn is not None:
+            raise ValueError(
+                "classifier guidance inverts eps -> x0 (condition_score), "
+                "which is undefined at the zero-SNR terminal step; use "
+                "classifier-free guidance (guidance_scale) instead.",
             )
         if num_steps and num_steps < coeffs.num_timesteps:
             coeffs = respace(

@@ -41,7 +41,7 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=None, help="respaced sampling steps")
     parser.add_argument(
         "--spacing", default=None,
-        choices=["uniform-t", "uniform-lambda", "trailing"],
+        choices=["uniform-t", "uniform-lambda", "trailing", "karras"],
         help="respacing grid (default: uniform-lambda for dpm++, uniform-t "
         "otherwise; 'trailing' for checkpoints from scripts/distill.py)",
     )
