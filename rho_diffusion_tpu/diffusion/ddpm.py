@@ -21,6 +21,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rho_diffusion_tpu.diffusion.base import (
     AbstractDiffusionPipeline,
@@ -100,6 +101,17 @@ class DDPM(AbstractDiffusionPipeline):
             opt_kwargs=opt_kwargs,
             **base_kwargs,
         )
+        # epsilon-only pipeline: ddpm_reverse_step divides by sqrt(alpha_t),
+        # which is 0 at the terminal step of a zero-terminal-SNR schedule —
+        # NaN samples with no error (mirror of the GaussianDiffusionPipeline
+        # epsilon gate)
+        if float(np.asarray(self.schedule.alpha_bar_t)[-1]) == 0.0:
+            raise ValueError(
+                "zero-terminal-SNR schedule (alpha_bar_T == 0) with the "
+                "epsilon-only DDPM pipeline: the reverse step divides by "
+                "sqrt(alpha_T) = 0. Use GaussianDiffusionPipeline with "
+                "model_mean_type='v_prediction'.",
+            )
         self.t_checkpoints = t_checkpoints
         self.sampling_batch_size = sampling_batch_size
         self.sample_every_n_epochs = sample_every_n_epochs

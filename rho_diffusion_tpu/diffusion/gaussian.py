@@ -202,6 +202,15 @@ def space_timesteps_lambda(
     if num_respaced >= coeffs.num_timesteps:
         return np.arange(coeffs.num_timesteps)
     abar = np.asarray(coeffs.alphas_cumprod, np.float64)
+    if abar[-1] == 0.0:
+        # lam[-1] would be -inf -> NaN linspace targets -> every argmin
+        # snaps to 0 and the spill loop silently returns [0..K-1], feeding
+        # x_T = pure noise into near-full-signal steps
+        raise ValueError(
+            "uniform-lambda spacing needs a finite terminal log-SNR; the "
+            "zero-terminal-SNR table has lambda(T-1) = -inf — use "
+            "'trailing' spacing there",
+        )
     lam = 0.5 * np.log(abar / (1.0 - abar))  # decreasing in t
     targets = np.linspace(lam[-1], lam[0], num_respaced)
     return _snap_targets_unique(lam, targets)
@@ -1120,6 +1129,16 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         self.loss_weighting = validate_loss_weighting(
             loss_weighting, self.model_mean_type, self.loss_type,
         )
+        if self.loss_weighting and self._zero_terminal_snr:
+            # SNR(T-1) = 0 makes the VELOCITY weight min(snr,g)/(snr+1) = 0:
+            # the terminal step — the step the zero-SNR rescale exists to
+            # train (arXiv:2305.08891) — would receive no gradient
+            raise ValueError(
+                "loss_weighting='min_snr' gives the zero-SNR terminal step "
+                "weight 0, silently un-training the step "
+                "rescale_betas_zero_snr exists to fix; drop min_snr or the "
+                "zero-terminal-SNR rescale",
+            )
         self.min_snr_gamma = float(min_snr_gamma)
 
     def _model_fn(
@@ -1236,10 +1255,14 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
                 "-inf at the zero-SNR terminal step; sample zero-terminal-"
                 "SNR schedules with 'ddim' or 'ddpm' instead.",
             )
-        if zero_snr and cond_grad_fn is not None:
+        if zero_snr and cond_grad_fn is not None and sampler == "ddim":
+            # only the DDIM path (condition_score) inverts eps -> x0; the
+            # 'ddpm' path's condition_mean (mean += variance*grad) stays
+            # finite at alpha_bar = 0 and remains a valid combination
             raise ValueError(
-                "classifier guidance inverts eps -> x0 (condition_score), "
-                "which is undefined at the zero-SNR terminal step; use "
+                "classifier guidance with sampler='ddim' inverts eps -> x0 "
+                "(condition_score), which is undefined at the zero-SNR "
+                "terminal step; use sampler='ddpm' (condition_mean) or "
                 "classifier-free guidance (guidance_scale) instead.",
             )
         if num_steps and num_steps < coeffs.num_timesteps:

@@ -36,12 +36,16 @@ def test_grid_properties(T, n):
 
 
 def test_denser_near_low_noise_than_uniform():
-    """rho=7 concentrates steps at small sigma (low t): the karras grid's
-    median timestep sits well below uniform striding's."""
+    """rho=7 concentrates steps at small sigma (low t). Note the grid is
+    dense at BOTH ends in t-space for a VP schedule (half the sigma^(1/rho)
+    linspace maps into the steep high-t region), so assert low-t density
+    directly rather than via the t-median: more karras points below t=100
+    than uniform striding, and a tighter first gap."""
     c = _coeffs(1000)
     karras = space_timesteps_karras(c, 20)
     uniform = space_timesteps(1000, 20)
-    assert np.median(karras) < 0.5 * np.median(uniform)
+    assert (karras < 100).sum() > (uniform < 100).sum()
+    assert karras[1] - karras[0] < uniform[1] - uniform[0]
 
 
 def test_degenerate_and_invalid():

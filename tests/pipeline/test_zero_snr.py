@@ -144,6 +144,58 @@ class TestPipelineGates:
                 sampler="dpm++", num_steps=5,
             )
 
+    def test_uniform_lambda_spacing_rejected(self):
+        """Explicit spacing='uniform-lambda' on a zero-SNR table used to
+        silently return grid [0..K-1] (lam[-1]=-inf -> NaN targets)."""
+        sched = named_beta_schedule("linear", T, zero_terminal_snr=True)
+        c = coefficients_from_betas(np.asarray(sched.beta_t, np.float64))
+        with pytest.raises(ValueError, match="trailing"):
+            respace(c, 5, spacing="uniform-lambda")
+
+    def test_min_snr_weighting_rejected(self):
+        """min_snr gives the zero-SNR terminal step weight exactly 0 —
+        silently un-training the step the rescale exists to fix."""
+        with pytest.raises(ValueError, match="min_snr"):
+            GaussianDiffusionPipeline(
+                backbone="UNetv2",
+                backbone_kwargs=_backbone_kwargs(),
+                schedule=named_beta_schedule("linear", T, zero_terminal_snr=True),
+                model_mean_type="v_prediction",
+                loss_weighting="min_snr",
+                optimizer="AdamW",
+            )
+
+    def test_ddpm_pipeline_rejects_zero_snr_schedule(self):
+        """Epsilon-only DDPM divides by sqrt(alpha_T)=0 in its reverse
+        step; the schedule must be rejected at construction."""
+        from rho_diffusion_tpu.diffusion.ddpm import DDPM
+
+        with pytest.raises(ValueError, match="zero-terminal-SNR"):
+            DDPM(
+                backbone="UNetv2",
+                backbone_kwargs=_backbone_kwargs(),
+                schedule=named_beta_schedule("linear", T, zero_terminal_snr=True),
+                optimizer="AdamW",
+            )
+
+    def test_classifier_guidance_allowed_for_ddpm_sampler(self):
+        """condition_mean (mean += variance*grad) is finite at alpha_bar=0:
+        only the DDIM/condition_score path is blocked under zero-SNR."""
+        pipe = _zero_snr_pipe()
+        state = pipe.create_state(jax.random.PRNGKey(0))
+        grad_fn = lambda x, t: jnp.zeros_like(x)
+        y = jnp.zeros((1, EMB), jnp.float32)
+        with pytest.raises(ValueError, match="condition_score"):
+            pipe.reverse_process(
+                state.params, jax.random.PRNGKey(1), (1, 8, 8, 1), y,
+                sampler="ddim", cond_grad_fn=grad_fn, num_steps=3,
+            )
+        out = pipe.reverse_process(
+            state.params, jax.random.PRNGKey(1), (1, 8, 8, 1), y,
+            sampler="ddpm", cond_grad_fn=grad_fn, num_steps=3,
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
 
 class TestEndToEnd:
     @pytest.fixture(scope="class")
