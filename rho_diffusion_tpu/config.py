@@ -131,6 +131,10 @@ class InferenceConfig(BaseModel):
     num_samples: int = 16
     sampler: str = "ddpm"  # "ddpm" | "ddim" | "dpm++"
     ddim_steps: int = 0  # 0 -> full T
+    # respacing grid: None -> sampler-aware default (uniform-lambda for
+    # dpm++, trailing for zero-terminal-SNR, uniform-t otherwise); set
+    # "trailing" when sampling a distilled student
+    spacing: Optional[str] = None
     use_ema: bool = True
     # classifier-free guidance scale (1.0 = off); needs a model trained
     # with pipeline cond_dropout > 0

@@ -164,6 +164,7 @@ class SamplingService:
         *,
         sampler: str = "ddim",
         num_steps: Optional[int] = 50,
+        spacing: Optional[str] = None,
         eta: float = 0.0,
         guidance_scale: Optional[float] = None,
         cond_dim: Optional[int] = None,
@@ -219,6 +220,16 @@ class SamplingService:
         self.params = params
         self.sampler = sampler
         self.num_steps = num_steps
+        # respacing grid (None = the pipeline's sampler-aware default).
+        # 'trailing' is REQUIRED to serve a progressively-distilled student
+        # (scripts/distill.py): the student was trained on the trailing
+        # grid; uniform-t would evaluate it at timesteps it never saw.
+        self.spacing = spacing
+        if spacing is not None and not hasattr(pipeline, "coeffs"):
+            raise ValueError(
+                "spacing is a GaussianDiffusion-family respacing control; "
+                "the DDPM pipeline always samples its full schedule",
+            )
         self.eta = eta
         if (
             guidance_scale is not None
@@ -314,6 +325,8 @@ class SamplingService:
             service_kwargs["sampler"] = config.inference.sampler
         if "num_steps" not in service_kwargs:
             service_kwargs["num_steps"] = config.inference.ddim_steps or None
+        if "spacing" not in service_kwargs:
+            service_kwargs["spacing"] = config.inference.spacing
         if "guidance_scale" not in service_kwargs:
             # 1.0 is the unguided no-op everywhere downstream; no
             # normalization needed (reverse_process short-circuits on it)
@@ -462,6 +475,9 @@ class SamplingService:
                 "latency_p95_s": lat[int(len(lat) * 0.95)] if lat else 0.0,
                 "buckets": list(self.buckets),
                 "compiled_buckets": sorted(self._compiled),
+                "sampler": self.sampler,
+                "num_steps": self.num_steps,
+                "spacing": self.spacing,
             }
 
     def close(self) -> None:
@@ -505,12 +521,13 @@ class SamplingService:
         if hasattr(pipeline, "coeffs"):  # GaussianDiffusion family
             sampler, eta, num_steps = self.sampler, self.eta, self.num_steps
             guidance = self.guidance_scale
+            spacing = self.spacing
 
             def raw(params, seeds, idxs, conds):
                 return pipeline.reverse_process(
                     params, keys_from_seeds(seeds, idxs), shape, conds,
                     sampler=sampler, eta=eta, num_steps=num_steps,
-                    guidance_scale=guidance,
+                    spacing=spacing, guidance_scale=guidance,
                     t_checkpoints=(),
                 )
 

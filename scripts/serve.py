@@ -32,6 +32,13 @@ def main() -> None:
     parser.add_argument("--sampler", default=None, choices=["ddpm", "ddim", "dpm++"])
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument(
+        "--spacing", default=None,
+        choices=["uniform-t", "uniform-lambda", "trailing", "karras"],
+        help="respacing grid (default: sampler-aware). Use 'trailing' to "
+             "serve a progressively-distilled student (scripts/distill.py) "
+             "— it was trained on the trailing grid",
+    )
+    parser.add_argument(
         "--guidance", type=float, default=None,
         help="classifier-free guidance scale (1.0 = off; needs a model "
              "trained with cond_dropout > 0)",
@@ -92,6 +99,8 @@ def main() -> None:
         kwargs["sampler"] = args.sampler
     if args.steps:
         kwargs["num_steps"] = args.steps
+    if args.spacing:
+        kwargs["spacing"] = args.spacing
     if args.guidance is not None:
         kwargs["guidance_scale"] = args.guidance  # 1.0 == unguided no-op
     if args.cond_dim is not None:

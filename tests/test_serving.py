@@ -211,6 +211,42 @@ def test_ddpm_pipeline_service():
         assert np.isfinite(res.samples).all()
 
 
+def test_spacing_control_serves_distilled_grid():
+    """--spacing 'trailing' (the grid a distilled student was trained on,
+    scripts/distill.py) changes the compiled sampler's respacing grid; the
+    DDPM pipeline (full-schedule only) rejects the knob."""
+    pipe = GaussianDiffusionPipeline(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        model_mean_type="epsilon",
+        model_var_type="fixed_large",
+        optimizer="AdamW",
+    )
+    params = pipe.init_params(jax.random.PRNGKey(0))
+    outs = {}
+    for spacing in ("trailing", "uniform-t"):
+        with SamplingService(
+            pipe, params, sampler="ddim", num_steps=4, spacing=spacing,
+            batch_buckets=(2,), max_delay_s=0.0,
+        ) as service:
+            assert service.stats()["spacing"] == spacing
+            outs[spacing] = service.generate(n=2, seed=0).samples
+            assert np.isfinite(outs[spacing]).all()
+    # different grid -> different trajectory from the same request seed
+    assert not np.allclose(outs["trailing"], outs["uniform-t"])
+
+    ddpm = DDPM(
+        backbone="UNetv2",
+        backbone_kwargs=_backbone_kwargs(),
+        schedule=LinearSchedule(20, 2e-4, 1e-2),
+        optimizer="AdamW",
+    )
+    dparams = ddpm.create_state(jax.random.PRNGKey(0)).params
+    with pytest.raises(ValueError, match="full schedule"):
+        SamplingService(ddpm, dparams, spacing="trailing", batch_buckets=(1,))
+
+
 def test_quantized_service():
     """quantize='int8' serves finite samples from an unchanged checkpoint
     (W8A8 execution mode, ops/quant.py) and resets cleanly."""
