@@ -129,7 +129,7 @@ class InferenceConfig(BaseModel):
     seed: int = 0
     # TPU-native additions:
     num_samples: int = 16
-    sampler: str = "ddpm"  # "ddpm" | "ddim" | "dpm++"
+    sampler: str = "ddpm"  # "ddpm" | "ddim" | "dpm++" | "unipc"
     ddim_steps: int = 0  # 0 -> full T
     # respacing grid: None -> sampler-aware default (uniform-lambda for
     # dpm++, trailing for zero-terminal-SNR, uniform-t otherwise); set

@@ -47,6 +47,7 @@ from rho_diffusion_tpu.diffusion.sampling_rng import (
     normal_like,
 )
 from rho_diffusion_tpu.diffusion.schedule import NoiseSchedule, named_beta_schedule
+from rho_diffusion_tpu.diffusion.solvers import build_solver, is_solver, solver_names
 from rho_diffusion_tpu.metrics.losses import (
     discretized_gaussian_log_likelihood,
     normal_kl,
@@ -610,9 +611,10 @@ def sample_loop(
     first-order step is exactly DDIM eta=0, so it composes with the same
     clipping/thresholding/guidance machinery and reaches DDIM-50 quality
     in ~10-20 model evaluations; deterministic, eta ignored)."""
-    if sampler not in ("ddpm", "ddim", "dpm++", "dpmpp"):
+    if sampler not in ("ddpm", "ddim") and not is_solver(sampler):
         raise ValueError(
-            f"unknown sampler {sampler!r}; expected 'ddpm', 'ddim' or 'dpm++'",
+            f"unknown sampler {sampler!r}; expected 'ddpm', 'ddim' or a "
+            f"registered ODE solver ({', '.join(solver_names())})",
         )
     per_row = is_per_sample_keys(rng)
     if per_row:
@@ -651,51 +653,18 @@ def sample_loop(
         ].astype(jnp.int32)
         buf = jnp.zeros((t_ckpt.shape[0], *shape), x.dtype)
 
-    if sampler in ("dpm++", "dpmpp"):
-        # DPM-Solver++(2M), data-prediction multistep (arXiv:2211.01095
-        # Algorithm 2). All per-step scalars are precomputed over the
-        # (possibly respaced) index grid and fed to the scan as xs, so the
-        # body is pure MXU/VPU work:
-        #   x_{i-1} = (sigma_prev/sigma) x_i + alpha_prev (1 - e^{-h_i}) D_i
-        #   D_i = x0_i + (h_i / 2 h_{i+1}) (x0_i - x0_{i+1})   [2nd order]
-        # with h_i = lambda_prev - lambda_i in log-SNR space. The final
-        # step (i=0) targets alpha=1, sigma=0 (h=inf): e^{-h}=0 exactly and
-        # the order drops to 1 ("lower_order_final"), returning the x0
-        # prediction — the same convention as the DDIM loop's last step.
-        # jnp (not numpy) so the tables trace under an outer jit; XLA
-        # constant-folds them when the coefficients are concrete.
-        abar = c.alphas_cumprod.astype(jnp.float32)
-        abar_prev = c.alphas_cumprod_prev.astype(jnp.float32)
-        al, sg = jnp.sqrt(abar), jnp.sqrt(1.0 - abar)
-        al_p, sg_p = jnp.sqrt(abar_prev), jnp.sqrt(1.0 - abar_prev)
-        lam = jnp.log(al / sg)
-        exp_mh = (al * sg_p) / (sg * al_p)  # e^{-h_i}; exact 0.0 at i=0
-        # h[0] = +inf (sg_p[0] = 0); it is masked off below, never used
-        h = jnp.log(al_p / jnp.maximum(sg_p, 1e-30)) - lam
-        M = c.num_timesteps
-        idx = np.arange(M - 1, -1, -1)  # scan visits i = M-1 .. 0
-        # 2M correction coefficient 1/(2 r_i) = h_i / (2 h_prev), where the
-        # previous solver step ran i+1 -> i so h_prev = h[i+1] (linear
-        # extrapolation of x0(lambda) to the step midpoint). The first scan
-        # step (i=M-1) has no history and the last (i=0) has h_0=inf; both
-        # drop to 1st order via use2=0 (c2 stays 0 there: the inactive
-        # correction term is exactly zero, never NaN).
-        c2 = jnp.zeros((M,), jnp.float32)
-        if M > 2:
-            c2 = c2.at[1 : M - 1].set(h[1 : M - 1] / (2.0 * h[2:M]))
-        use2 = np.ones(M, np.float32)
-        use2[0] = 0.0  # i = 0: lower-order final
-        use2[M - 1] = 0.0  # i = M-1: no history yet
-        xs = {
-            "i": jnp.asarray(idx, jnp.int32),
-            "ratio": (sg_p / sg)[idx],
-            "gain": (al_p * (1.0 - exp_mh))[idx],
-            "c2": c2[idx],
-            "use2": jnp.asarray(use2[idx]),
-        }
+    if is_solver(sampler):
+        # Deterministic ODE solver from the plug-in registry
+        # (diffusion/solvers.py): per-step scalar tables precomputed over
+        # the (possibly respaced) grid at trace time (jnp, so they stay
+        # valid — and constant-folded — under an outer jit), one generic
+        # lax.scan here: the body is one model evaluation plus the
+        # solver's pure MXU/VPU update. New solvers register there; this
+        # loop never changes.
+        prog = build_solver(sampler, c.alphas_cumprod)
 
-        def dpm_body(carry, s):
-            x, prev_x0, buf = carry
+        def solver_body(carry, s):
+            x, mem, buf = carry
             tt = jnp.full((shape[0],), s["i"], jnp.int32)
             out = p_mean_variance(
                 c, model_fn, x, tt, mean_type, var_type,
@@ -704,18 +673,16 @@ def sample_loop(
             )
             if cond_grad_fn is not None:
                 out = condition_score(c, cond_grad_fn, out, x, tt)
-            x0 = out["pred_xstart"]
-            d = x0 + (s["use2"] * s["c2"]).astype(x.dtype) * (x0 - prev_x0)
-            x = s["ratio"].astype(x.dtype) * x + s["gain"].astype(x.dtype) * d
+            x, mem = prog.step(x, out["pred_xstart"], s, mem)
             if buf is not None:
                 hits = (t_ckpt == c.timestep_map[s["i"]]).reshape(
                     -1, *((1,) * x.ndim),
                 )
                 buf = jnp.where(hits, x[None], buf)
-            return (x, x0, buf), (x if progressive else None)
+            return (x, mem, buf), (x if progressive else None)
 
         (x, _, buf), frames = jax.lax.scan(
-            dpm_body, (x, jnp.zeros_like(x), buf), xs,
+            solver_body, (x, prog.init_mem(x), buf), prog.xs,
         )
         if t_checkpoints is not None:
             return x, buf
@@ -1249,11 +1216,11 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
         grid)."""
         coeffs = self.coeffs
         zero_snr = getattr(self, "_zero_terminal_snr", False)
-        if zero_snr and sampler in ("dpm++", "dpmpp"):
+        if zero_snr and is_solver(sampler):
             raise ValueError(
-                "DPM-Solver++ operates in log-SNR (lambda) space, which is "
-                "-inf at the zero-SNR terminal step; sample zero-terminal-"
-                "SNR schedules with 'ddim' or 'ddpm' instead.",
+                f"the '{sampler}' ODE solver operates in log-SNR (lambda) "
+                "space, which is -inf at the zero-SNR terminal step; sample "
+                "zero-terminal-SNR schedules with 'ddim' or 'ddpm' instead.",
             )
         if zero_snr and cond_grad_fn is not None and sampler == "ddim":
             # only the DDIM path (condition_score) inverts eps -> x0; the
@@ -1277,7 +1244,7 @@ class GaussianDiffusionPipeline(AbstractDiffusionPipeline):
                 spacing=spacing or (
                     "trailing" if zero_snr
                     else "uniform-lambda"
-                    if sampler in ("dpm++", "dpmpp")
+                    if is_solver(sampler)
                     else "uniform-t"
                 ),
             )

@@ -1,0 +1,230 @@
+"""Pluggable deterministic ODE solvers for the Gaussian sampling loop.
+
+The reference delegated fast sampling to *any* HF ``SchedulerMixin`` via
+duck-typed ``add_noise``/``step`` (reference
+``/root/reference/rho_diffusion/diffusion/diffusers.py:148-151, 200-216``),
+so new solvers came free with the dependency. This module is the TPU-native
+equivalent of that seam, shaped for ``lax.scan`` instead of a Python step
+loop: a solver is compiled AHEAD of the loop into
+
+* ``xs`` — per-step scalar tables in scan order (i = M-1 .. 0). Built with
+  jnp (NOT numpy): ``reverse_process`` respaces and builds coefficients at
+  trace time, so under an outer ``jax.jit`` (the generate/serving sampler
+  caches) the tables are tracers that XLA constant-folds — numpy would
+  raise ``TracerArrayConversionError``. The scan body stays pure MXU/VPU
+  work with zero data-dependent control flow;
+* ``init_mem(x)`` — the solver's multistep memory pytree (previous model
+  outputs, previous samples);
+* ``step(x, x0, s, mem) -> (x_new, mem)`` — one deterministic update given
+  the model's (clipped/guided) x0 prediction at the current grid point.
+
+``sample_loop`` (diffusion/gaussian.py) runs any registered solver through
+one generic scan; registering a new solver requires no edits there:
+
+    @register_solver("my-solver")
+    def _build(alphas_cumprod) -> SolverProgram: ...
+
+Solvers operate in log-SNR space and therefore need a finite terminal
+lambda — ``reverse_process`` rejects zero-terminal-SNR schedules for every
+registered solver and defaults them to the 'uniform-lambda' respacing grid.
+
+Registered here:
+
+* ``dpm++`` / ``dpmpp`` — DPM-Solver++(2M) (Lu et al., arXiv:2211.01095
+  Algorithm 2), data-prediction 2nd-order multistep;
+* ``unipc`` — UniPC-p2 with the B2(h) variant (Zhao et al.,
+  arXiv:2302.04867): the DPM-Solver++-style predictor plus a corrector
+  that reuses the NEXT grid point's model evaluation — 3rd-order local
+  accuracy at 2nd-order memory and 1 NFE/step.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class SolverProgram:
+    """A solver compiled against one (possibly respaced) abar grid."""
+
+    xs: Dict[str, jnp.ndarray]  # per-scan-step scalars, scan order M-1..0
+    init_mem: Callable[[jnp.ndarray], Any]
+    step: Callable[[jnp.ndarray, jnp.ndarray, dict, Any], tuple]
+
+
+_SOLVERS: Dict[str, Callable[[Any], SolverProgram]] = {}
+
+
+def register_solver(*names: str):
+    """Register a ``builder(alphas_cumprod) -> SolverProgram`` under one or
+    more sampler names."""
+
+    def deco(builder):
+        for n in names:
+            _SOLVERS[n] = builder
+        return builder
+
+    return deco
+
+
+def is_solver(name: str) -> bool:
+    return name in _SOLVERS
+
+
+def solver_names() -> list[str]:
+    return sorted(_SOLVERS)
+
+
+def build_solver(name: str, alphas_cumprod) -> SolverProgram:
+    return _SOLVERS[name](jnp.asarray(alphas_cumprod, jnp.float32))
+
+
+def _lambda_tables(abar: jnp.ndarray):
+    """Per-transition scalars shared by the log-SNR solvers.
+
+    Transition j is grid point j -> j-1 (j-1 == -1 is the clean-data
+    endpoint: alpha=1, sigma=0). The j=0 endpoint quantities are built by
+    SHIFTING the alpha/sigma tables (alpha_t[0]=1, sigma_t[0]=0), so
+    e^{-h_0} = 0 and ratio_0 = 0 EXACTLY without materialising an inf
+    lambda — the tables stay finite and trace-safe."""
+    al = jnp.sqrt(abar)
+    sg = jnp.sqrt(1.0 - abar)
+    lam = jnp.log(al / sg)
+    al_t = jnp.concatenate([jnp.ones((1,), abar.dtype), al[:-1]])
+    sg_t = jnp.concatenate([jnp.zeros((1,), abar.dtype), sg[:-1]])
+    # e^{-h_j} = (al_j sg_{j-1}) / (sg_j al_{j-1}): exactly 0 at j=0
+    e_mh = (al * sg_t) / (sg * al_t)
+    # finite stand-in for h_0 = +inf; every use is masked or saturated
+    # (e^{-69} == 0 in f32, 1/69 only enters masked-off terms)
+    h = jnp.log(al_t / jnp.maximum(sg_t, 1e-30)) - lam
+    ratio = sg_t / sg
+    gain = al_t * (1.0 - e_mh)
+    return al, sg, lam, h, e_mh, ratio, gain
+
+
+@register_solver("dpm++", "dpmpp")
+def _build_dpmpp_2m(abar: jnp.ndarray) -> SolverProgram:
+    """DPM-Solver++(2M) (arXiv:2211.01095 Alg. 2), data-prediction form:
+
+        x_{j-1} = (sigma_{j-1}/sigma_j) x_j + alpha_{j-1} (1 - e^{-h_j}) D_j
+        D_j     = x0_j + (h_j / 2 h_{j+1}) (x0_j - x0_{j+1})
+
+    The final transition (j=0, h=inf) and the first (j=M-1, no history)
+    drop to 1st order via the zeroed ``c2`` — the inactive correction term
+    is exactly zero, never NaN (lower-order-final convention, same as the
+    DDIM loop's last step)."""
+    M = abar.shape[0]
+    _, _, _, h, _, ratio, gain = _lambda_tables(abar)
+    c2 = jnp.zeros((M,), abar.dtype)
+    if M > 2:
+        c2 = c2.at[1 : M - 1].set(h[1 : M - 1] / (2.0 * h[2:M]))
+    idx = np.arange(M - 1, -1, -1)
+    xs = {
+        "i": jnp.asarray(idx, jnp.int32),
+        "ratio": ratio[idx],
+        "gain": gain[idx],
+        "c2": c2[idx],
+    }
+
+    def step(x, x0, s, prev_x0):
+        d = x0 + s["c2"].astype(x.dtype) * (x0 - prev_x0)
+        x = s["ratio"].astype(x.dtype) * x + s["gain"].astype(x.dtype) * d
+        return x, x0
+
+    return SolverProgram(xs=xs, init_mem=jnp.zeros_like, step=step)
+
+
+@register_solver("unipc")
+def _build_unipc_bh2_p2(abar: jnp.ndarray) -> SolverProgram:
+    """UniPC-p2 / B2(h) (arXiv:2302.04867 §3; matches diffusers'
+    ``UniPCMultistepScheduler(solver_type='bh2', solver_order=2,
+    predict_x0=True)`` update equations).
+
+    With B(h) = e^{-h} - 1 the predictor and corrector share the DPM++
+    gain, so one transition j -> j-1 is
+
+        x_{j-1} = ratio_j x_j + gain_j (x0_j + rho_p_j D1_prev)
+
+    and, once the model has been evaluated at the arrival point, the
+    corrector re-does the SAME transition with the extra endpoint
+    difference D1_t = x0_{j-1} - x0_j:
+
+        x_{j-1} <- ratio_j x_j + gain_j (x0_j + rho1_j D1_prev + rho2_j D1_t)
+
+    1 model evaluation per step: the corrector for transition j+1 runs at
+    the start of scan step j, reusing that step's fresh evaluation. The
+    scan carries (last corrected sample, last two model outputs)."""
+    M = abar.shape[0]
+    _, _, lam, h, e_mh, ratio, gain = _lambda_tables(abar)
+    h_phi_1 = e_mh - 1.0  # = B_h for the bh2 variant; exactly -1 at j=0
+    hh = -h
+    # k1 = h_phi_1/hh - 1 -> at the saturated j=0 stand-in (hh = -69,
+    # h_phi_1 = -1): k1 ~ -0.9855, b1 ~ 0.9855 — close to the true inf
+    # limit (1.0) and masked off by rho_p anyway (lower-order final)
+    k1 = h_phi_1 / hh - 1.0
+    b1 = k1 / h_phi_1
+    b2 = 2.0 * (k1 / hh - 0.5) / h_phi_1
+    # r1_j = (lam_{j+1} - lam_j)/h_j  (< 0): the previous grid point in
+    # units of the current step. No previous point at j=M-1.
+    r1 = jnp.full((M,), -1.0, abar.dtype)
+    if M > 1:
+        r1 = r1.at[: M - 1].set((lam[1:] - lam[: M - 1]) / h[: M - 1])
+    use2 = np.ones(M, np.float32)
+    use2[0] = 0.0  # lower-order final
+    use2[M - 1] = 0.0  # no history
+    use2_j = jnp.asarray(use2)
+    invr1 = jnp.where(use2_j > 0, 1.0 / r1, 0.0)
+    rho_p = use2_j * b1
+
+    # corrector coefficients for transition j, solved from the 2x2 system
+    # [[1, 1], [r1, 1]] rho = [b1, b2]  (r1 < 0, never 1: no singularity);
+    # order-1 transitions (first step) use the fixed rho = [0, 1/2]
+    rho1 = jnp.where(use2_j > 0, (b2 - b1) / (r1 - 1.0), 0.0)
+    rho2 = jnp.where(use2_j > 0, b1 - rho1, 0.5)
+
+    idx = np.arange(M - 1, -1, -1)
+
+    def shift_prev(a, fill=0.0):
+        """Value of the PREVIOUS transition (j+1) at step j."""
+        a = jnp.asarray(a, abar.dtype)
+        return jnp.concatenate([a[1:], jnp.full((1,), fill, abar.dtype)])
+
+    use_c = shift_prev(np.ones(M))  # no corrector at the first scan step
+    f32 = lambda a: jnp.asarray(a)[idx]
+    xs = {
+        "i": jnp.asarray(idx, jnp.int32),
+        "ratio": f32(ratio),
+        "gain": f32(gain),
+        "rho_p": f32(rho_p),
+        "invr1": f32(invr1),
+        # corrector re-runs transition j+1 with this step's fresh eval
+        "c_ratio": f32(shift_prev(ratio)),
+        "c_gain": f32(shift_prev(gain)),
+        "c_rho1": f32(shift_prev(rho1)),
+        "c_rho2": f32(shift_prev(rho2)),
+        "c_invr1": f32(shift_prev(invr1)),
+        "use_c": f32(use_c),
+    }
+
+    def init_mem(x):
+        return (x, jnp.zeros_like(x), jnp.zeros_like(x))
+
+    def step(x, x0, s, mem):
+        last_x, m_prev, m_prevprev = mem
+        f = lambda k: s[k].astype(x.dtype)
+        # corrector for transition j+1 -> j (uses the fresh x0 here)
+        d1pp = (m_prevprev - m_prev) * f("c_invr1")
+        d1t = x0 - m_prev
+        x_corr = f("c_ratio") * last_x + f("c_gain") * (
+            m_prev + f("c_rho1") * d1pp + f("c_rho2") * d1t
+        )
+        x = jnp.where(f("use_c") > 0, x_corr, x)
+        # predictor for transition j -> j-1
+        d1 = (m_prev - x0) * f("invr1")
+        x_new = f("ratio") * x + f("gain") * (x0 + f("rho_p") * d1)
+        return x_new, (x, x0, m_prev)
+
+    return SolverProgram(xs=xs, init_mem=init_mem, step=step)

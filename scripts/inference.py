@@ -37,7 +37,7 @@ def main() -> None:
         "-f", dest="forced_overwrite", action="store_true", default=False,
         help="overwrite an existing inference output cache file",
     )
-    parser.add_argument("--sampler", default=None, choices=["ddpm", "ddim", "dpm++"])
+    parser.add_argument("--sampler", default=None, choices=["ddpm", "ddim", "dpm++", "unipc"])
     parser.add_argument("--steps", type=int, default=None, help="respaced sampling steps")
     parser.add_argument(
         "--spacing", default=None,

@@ -29,7 +29,7 @@ def main() -> None:
     parser.add_argument("-d", "--device", default=None)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
-    parser.add_argument("--sampler", default=None, choices=["ddpm", "ddim", "dpm++"])
+    parser.add_argument("--sampler", default=None, choices=["ddpm", "ddim", "dpm++", "unipc"])
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument(
         "--spacing", default=None,
