@@ -43,8 +43,17 @@ os.makedirs(OUT, exist_ok=True)
 
 SMOKE = int(os.environ.get("DEMO_SMOKE", "0"))
 EPOCHS = int(os.environ.get("DEMO_EPOCHS", "4" if SMOKE else "1400"))
-BATCH = int(os.environ.get("DEMO_BATCH", "21"))
-WORKDIR = os.environ.get("DEMO_WORKDIR", "/tmp/rho_galaxy2d")
+BATCH = int(os.environ.get("DEMO_BATCH", "25"))
+# "reference": examples/config_deep_galaxy.json verbatim (epsilon DDPM,
+#   truncated terminal SNR) — converges in training loss but mis-tracks the
+#   frames' dominant DC component at sampling time (near-black background;
+#   see docs/demo/demo_galaxy2d_reference_metrics.json for the documented
+#   failure — the reference framework itself has no fix for this).
+# "zero_snr": same model/data/optimizer, but the TPU-native training
+#   recipe — zero-terminal-SNR linear schedule + v-prediction + trailing
+#   DDIM (arXiv:2305.08891), all config-expressible here.
+RECIPE = os.environ.get("DEMO_RECIPE", "zero_snr")
+WORKDIR = os.environ.get("DEMO_WORKDIR", "/tmp/rho_galaxy2d_" + RECIPE)
 H5 = os.path.join(WORKDIR, "output_bw_512.h5")
 
 os.makedirs(WORKDIR, exist_ok=True)
@@ -79,6 +88,16 @@ config.training.sample_every_n_epochs = 10**9  # eval happens below, once
 config.training.save_checkpoint_every_n_epochs = max(EPOCHS // 2, 1)
 if config.lr_scheduler is not None:
     config.lr_scheduler.kwargs["T_max"] = EPOCHS
+if RECIPE == "zero_snr":
+    from rho_diffusion_tpu.config import ComponentConfig
+
+    config.noise_schedule.kwargs["zero_terminal_snr"] = True
+    config.pipeline = ComponentConfig(
+        name="GaussianDiffusionPipeline",
+        kwargs={"model_mean_type": "v_prediction", "model_var_type": "fixed_small"},
+    )
+elif RECIPE != "reference":
+    raise SystemExit(f"unknown DEMO_RECIPE {RECIPE!r}")
 if SMOKE:
     config.model.kwargs.update(
         model_channels=8, num_res_blocks=1, attention_resolutions=[], num_heads=1,
@@ -111,15 +130,26 @@ order = np.lexsort((labels[:, 2], labels[:, 0]))  # sort by (s, t)
 real, labels = real[order], labels[order]
 n = real.shape[0]
 
-sample_fn = jax.jit(
-    lambda p, r, c: pipe.reverse_process(p, r, (c.shape[0], *real.shape[1:]), c)
-)
+if RECIPE == "zero_snr":
+    # trailing-grid DDIM (the zero-terminal-SNR default) at 100 evals
+    sample_fn = jax.jit(
+        lambda p, r, c: pipe.reverse_process(
+            p, r, (c.shape[0], *real.shape[1:]), c,
+            sampler="ddim", num_steps=100,
+        )
+    )
+else:  # reference DDPM pipeline: full-T ancestral, returns a dict
+    sample_fn = jax.jit(
+        lambda p, r, c: pipe.reverse_process(
+            p, r, (c.shape[0], *real.shape[1:]), c,
+        )["denoised"]
+    )
 t0 = time.perf_counter()
 gen = []
 for lo in range(0, n, BATCH):
     chunk = jnp.asarray(labels[lo : lo + BATCH])
     out = sample_fn(params, jax.random.PRNGKey(1000 + lo), chunk)
-    gen.append(np.asarray(out["denoised"], np.float32))
+    gen.append(np.asarray(out, np.float32))
 gen = np.concatenate(gen)
 sample_wall = time.perf_counter() - t0
 
@@ -163,10 +193,10 @@ for s_val in s_vals:
 plot_image_grid(
     np.concatenate(rows),
     ncols=len(t_show),
-    filename=os.path.join(OUT, "demo_galaxy2d_grid.png"),
+    filename=os.path.join(OUT, f"demo_galaxy2d_{RECIPE}_grid.png"),
 )
 
-with open(os.path.join(OUT, "demo_galaxy2d_metrics.json"), "w") as f:
+with open(os.path.join(OUT, f"demo_galaxy2d_{RECIPE}_metrics.json"), "w") as f:
     json.dump(
         {
             "epochs": EPOCHS,
@@ -181,8 +211,9 @@ with open(os.path.join(OUT, "demo_galaxy2d_metrics.json"), "w") as f:
             "noise_baseline": {"mse": noise_mse, "sinkhorn": noise_sink},
             "conditioning_separates": bool(matched < 0.5 * mismatched),
             "smoke": bool(SMOKE),
+            "recipe": RECIPE,
         },
         f,
         indent=2,
     )
-print("wrote docs/demo/demo_galaxy2d_metrics.json", flush=True)
+print(f"wrote docs/demo/demo_galaxy2d_{RECIPE}_metrics.json", flush=True)

@@ -110,6 +110,11 @@ class TrainingConfig(BaseModel):
     # dataset is snapshotted once: stochastic-per-access datasets (the
     # synthetic Ylm family) train on frozen draws, like a to_hdf5 export.
     device_cache: bool = False
+    # Under a multi-device data mesh, shard the cached table's rows 1/N
+    # over the data axis (batches assemble via one small psum_scatter over
+    # ICI; bit-identical to host-streamed batches). False = replicate the
+    # full table on every chip (the single-device behaviour).
+    device_cache_shard: bool = True
     # Metric sinks, resolved via the "loggers" registry category
     # ("stdout" | "jsonl" | "csv" | "mlflow"); the default reproduces the
     # stdout + metrics.jsonl behaviour.

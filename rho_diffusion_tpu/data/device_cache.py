@@ -17,6 +17,20 @@ synthetic device-resident number.
 Single-host only: multi-host runs keep the
 ``jax.make_array_from_process_local_data`` path (loader.py).
 
+Two residency modes:
+
+* **replicated** (default, single-device or small datasets): the whole
+  table on every chip, batches are plain ``jnp.take`` gathers;
+* **sharded** (``shard_over_data=True`` under a data mesh): the table's
+  rows live 1/N per chip (``P("data")`` on axis 0) — N x the dataset fits
+  in HBM. Each chip gathers the batch rows it holds locally and one
+  ``psum_scatter`` over the data axis assembles the batch-sharded result:
+  the per-step ICI traffic is ONE batch (a few MB at 100+ GB/s), while the
+  table itself never moves. Batches stay bit-identical to the host
+  loader's (same global permutation, exact-parity-tested) — unlike a
+  blocked per-shard sampler, sharding here changes WHERE rows live, not
+  WHICH rows a batch contains.
+
 Snapshot semantics: the dataset is materialised ONCE at construction.
 For deterministic map-style datasets (HDF5, image folders, fixtures) the
 cached batches are bit-identical to host-streamed ones (tested). For
@@ -64,6 +78,7 @@ class DeviceDatasetCache:
         per_key: Optional[dict] = None,
         max_bytes: int = 4 << 30,
         num_workers: int = 8,
+        shard_over_data: bool = False,
     ) -> None:
         if jax.process_count() > 1:
             raise ValueError(
@@ -81,15 +96,37 @@ class DeviceDatasetCache:
         total = sum(
             np.asarray(v).nbytes for v in host.values() if v is not None
         )
-        if total > max_bytes:
+        mesh = sharding.mesh if hasattr(sharding, "mesh") else None
+        n_data = 1
+        if shard_over_data:
+            from rho_diffusion_tpu.parallel.mesh import DATA_AXIS
+
+            if mesh is None or mesh.shape.get(DATA_AXIS, 1) < 2:
+                raise ValueError(
+                    "shard_over_data needs a batch sharding over a mesh "
+                    'with a "data" axis of size >= 2 (got '
+                    f"{getattr(mesh, 'shape', None)})",
+                )
+            n_data = mesh.shape[DATA_AXIS]
+        budget = max_bytes * n_data  # sharded rows: the pool is N chips
+        if total > budget:
             raise ValueError(
                 f"dataset is {total / 2**30:.2f} GiB collated, over the "
-                f"{max_bytes / 2**30:.2f} GiB device-cache budget — disable "
+                f"{budget / 2**30:.2f} GiB device-cache budget — disable "
                 f"training.device_cache (host streaming) or raise max_bytes.",
             )
         self.nbytes = total
+        self.shard_over_data = bool(shard_over_data)
         self._none_keys = [k for k, v in host.items() if v is None]
         tables = {k: np.asarray(v) for k, v in host.items() if v is not None}
+
+        if shard_over_data:
+            self._init_sharded(tables, mesh, n, sharding, per_key)
+        else:
+            self._init_replicated(tables, sharding, per_key)
+        self._valid_sharding = sharding
+
+    def _init_replicated(self, tables, sharding, per_key) -> None:
         # Tables live REPLICATED across the mesh (explicitly — a bare
         # device_put would leave the whole table on the default device,
         # re-introducing a per-step cross-device copy and concentrating
@@ -124,7 +161,72 @@ class DeviceDatasetCache:
             )
             else jax.jit(gather)
         )
-        self._valid_sharding = sharding
+
+    def _init_sharded(self, tables, mesh, n_rows, sharding, per_key) -> None:
+        """Row-shard the tables 1/N over the data axis; batches assemble
+        with one tiny psum_scatter.
+
+        Each device holds rows [d*S, (d+1)*S) (S = ceil(n/N), tail
+        zero-padded). For a batch of GLOBAL indices idx[B] (replicated),
+        device d gathers the rows of idx it owns locally (others -> 0) and
+        ``lax.psum_scatter`` over the data axis both sums the one-hot
+        contributions and leaves each device exactly its batch slice —
+        the output is the standard P("data") batch, bit-identical to the
+        replicated gather (parity-tested). Per-step ICI cost: one
+        reduce-scatter of the batch itself; the table never moves."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rho_diffusion_tpu.parallel.mesh import DATA_AXIS
+
+        N = mesh.shape[DATA_AXIS]
+        S = -(-n_rows // N)  # ceil
+        row_spec = lambda ndim: P(DATA_AXIS, *(None,) * (ndim - 1))
+        padded = {}
+        for k, v in tables.items():
+            pad = S * N - v.shape[0]
+            if pad:
+                v = np.concatenate(
+                    [v, np.zeros((pad, *v.shape[1:]), v.dtype)], axis=0,
+                )
+            padded[k] = v
+        self._tables = {
+            k: jax.device_put(v, NamedSharding(mesh, row_spec(v.ndim)))
+            for k, v in padded.items()
+        }
+
+        def gather(tabs: dict, idx: jnp.ndarray) -> dict:
+            d = jax.lax.axis_index(DATA_AXIS)
+            local = idx - d * S
+            ok = (local >= 0) & (local < S)
+            safe = jnp.clip(local, 0, S - 1)
+
+            def one(tab):
+                rows = jnp.take(tab, safe, axis=0)
+                rows = jnp.where(
+                    ok.reshape(-1, *((1,) * (rows.ndim - 1))), rows, 0,
+                )
+                return jax.lax.psum_scatter(
+                    rows, DATA_AXIS, scatter_dimension=0, tiled=True,
+                )
+
+            return {k: one(t) for k, t in tabs.items()}
+
+        in_specs = (
+            {k: row_spec(v.ndim) for k, v in padded.items()},
+            P(),  # idx replicated
+        )
+        out_specs = {k: row_spec(v.ndim) for k, v in padded.items()}
+        gather_sm = jax.shard_map(
+            gather, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        )
+        out_shardings = None
+        if per_key is not None:
+            # spatial/per-key resharding applied after assembly (one
+            # on-device layout change, only when asked for)
+            out_shardings = {
+                k: (per_key or {}).get(k, sharding) for k in padded
+            }
+        self._gather = jax.jit(gather_sm, out_shardings=out_shardings)
 
     def batch(self, idx: np.ndarray, valid: Optional[np.ndarray] = None) -> dict:
         """Gather one batch on device from global sample indices."""

@@ -131,11 +131,20 @@ def LinearSchedule(
     beta_1: float = 1.0e-3,
     beta_T: float = 0.02,
     device=None,  # accepted for reference-config compatibility; unused
+    zero_terminal_snr: bool = False,
 ) -> NoiseSchedule:
-    """Linear beta schedule, scaled by 1000/T (reference schedule.py:141-168)."""
+    """Linear beta schedule, scaled by 1000/T (reference schedule.py:141-168).
+
+    ``zero_terminal_snr=True`` applies the Lin et al. (arXiv:2305.08891)
+    rescale so alpha_bar_T == 0 exactly — config-expressible for workloads
+    whose mean is far from 0 (e.g. DeepGalaxy's near-black frames), where
+    the truncated-SNR + epsilon combination mis-tracks the DC component at
+    sampling time. Pair with a v-prediction pipeline."""
     del device
     scale = 1000.0 / num_steps
     beta = np.linspace(scale * beta_1, scale * beta_T, num_steps, dtype=np.float64)
+    if zero_terminal_snr:
+        beta = rescale_zero_terminal_snr(beta)
     return schedule_from_betas(beta)
 
 

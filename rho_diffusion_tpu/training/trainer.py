@@ -435,6 +435,12 @@ class Trainer:
                     collate_fn=self.loader.collate_fn,
                     sharding=sharding,
                     per_key=per_key,
+                    # rows 1/N per chip under a data mesh (N x the HBM
+                    # budget); replicated on a single device
+                    shard_over_data=(
+                        cfg.device_cache_shard
+                        and self.mesh.shape.get("data", 1) > 1
+                    ),
                 )
                 self._device_cache = device_cache
 

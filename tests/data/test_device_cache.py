@@ -142,3 +142,102 @@ def test_tables_replicated_on_mesh():
     np.testing.assert_array_equal(
         np.asarray(batch["data"])[:, 0, 0, 0], np.arange(8, dtype=np.float32),
     )
+
+
+def test_sharded_cache_rows_split_and_batches_exact():
+    """shard_over_data=True: each chip holds a 1/N row slice of the table
+    (per-device memory drops N x) and assembled batches are bit-identical
+    to the replicated gather AND the host loader (same global indices —
+    sharding changes where rows LIVE, not which rows a batch contains)."""
+    import jax
+
+    from rho_diffusion_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(data=4, devices=jax.devices()[:4])
+    ds = ArangeDataset(n=18)  # not a multiple of 4: exercises row padding
+    sharding = batch_sharding(mesh)
+    sharded = DeviceDatasetCache(
+        ds, sharding=sharding, num_workers=0, shard_over_data=True,
+    )
+    replicated = DeviceDatasetCache(ds, sharding=sharding, num_workers=0)
+    for tab in sharded._tables.values():
+        assert not tab.sharding.is_fully_replicated
+        shard_rows = {
+            s.data.shape[0] for s in tab.addressable_shards
+        }
+        assert shard_rows == {5}  # ceil(18/4) rows per chip, not 18
+    idx = np.array([17, 0, 9, 4, 13, 2, 6, 11])  # rows from every shard
+    a = sharded.batch(idx)
+    b = replicated.batch(idx)
+    for k in ("data", "labels"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    assert not a["data"].sharding.is_fully_replicated  # P("data") batch
+
+    # host-loader parity through the full epoch iterator
+    mk = lambda: DataLoader(
+        ds, batch_size=8, shuffle=True, seed=11, drop_last=False,
+        num_workers=0, process_index=0, num_processes=1,
+    )
+    host = list(mk().iter_batches())
+    cached = list(sharded.batches(mk()))
+    assert len(host) == len(cached)
+    for hb, cb in zip(host, cached):
+        np.testing.assert_array_equal(hb["data"], np.asarray(cb["data"]))
+        np.testing.assert_array_equal(hb["labels"], np.asarray(cb["labels"]))
+
+
+def test_sharded_cache_requires_data_mesh():
+    with pytest.raises(ValueError, match="data"):
+        DeviceDatasetCache(
+            ArangeDataset(n=8), num_workers=0, shard_over_data=True,
+        )
+
+
+def test_sharded_cache_budget_scales_with_mesh():
+    """The HBM budget is per-chip: a table over max_bytes fits when its
+    1/N shards do."""
+    import jax
+
+    from rho_diffusion_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(data=4, devices=jax.devices()[:4])
+    ds = ArangeDataset(n=64, shape=(16, 16, 1))
+    nbytes = 64 * 16 * 16 * 4  # data table only (labels negligible)
+    with pytest.raises(ValueError, match="budget"):
+        DeviceDatasetCache(ds, num_workers=0, max_bytes=nbytes // 2)
+    cache = DeviceDatasetCache(
+        ds, sharding=batch_sharding(mesh), num_workers=0,
+        max_bytes=nbytes // 2, shard_over_data=True,
+    )
+    assert cache.nbytes >= nbytes
+
+
+def test_trainer_sharded_cache_loss_parity_on_mesh(tmp_path):
+    """training.device_cache under training.mesh {"data": 4}: the sharded
+    table (default device_cache_shard=True) reproduces the host-streamed
+    loss history exactly — the VERDICT-r3 multi-chip cache contract."""
+    from tests.pipeline.test_trainer import ToyDataset, _config
+    from rho_diffusion_tpu.training.trainer import Trainer
+
+    losses = {}
+    for flag in (False, True):
+        wd = tmp_path / f"mesh_cache_{flag}"
+        wd.mkdir()
+        config = _config(
+            wd, device_cache=flag, max_epochs=1, mesh={"data": 4},
+            checkpoint_dir=str(wd / "ckpts"),
+        )
+        trainer = Trainer(config, dataset=ToyDataset(), work_dir=wd)
+        trainer.fit()
+        if flag:
+            cache = trainer._device_cache
+            assert cache.shard_over_data
+            for tab in cache._tables.values():
+                assert not tab.sharding.is_fully_replicated
+        recs = [
+            json.loads(line)
+            for line in (wd / "metrics.jsonl").read_text().splitlines()
+        ]
+        losses[flag] = [r["train_loss"] for r in recs if "train_loss" in r]
+    assert losses[True] == losses[False]
+    assert len(losses[True]) > 0
