@@ -87,20 +87,46 @@ def context_sharded_attention(
     v: jnp.ndarray,
     mesh: Mesh,
     axis_name: str = CONTEXT_AXIS,
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """Global entry point: shards the token axis of [B, T, H, D] inputs over
     ``axis_name`` and runs ring attention. T must divide by the axis size.
     The batch axis is additionally sharded over the data axis when divisible,
     so data parallelism is preserved through the attention section (each
-    data group runs its own independent K/V ring)."""
+    data group runs its own independent K/V ring).
+
+    ``impl``: 'xla' (default; ppermute ring, scheduler-overlapped) or
+    'rdma' (Pallas ``make_async_remote_copy`` double-buffered ring with
+    explicit compute/ICI overlap and flow control — parallel/context_rdma.py;
+    parity-tested on the virtual mesh, perf validation hardware-pending).
+    Env override: ``RHO_RING_ATTN_IMPL``."""
+    import os
+
+    impl = impl or os.environ.get("RHO_RING_ATTN_IMPL", "xla")
+    if impl not in ("xla", "rdma"):
+        raise ValueError(f"unknown ring-attention impl {impl!r}: 'xla' | 'rdma'")
     batch_axis = None
     if DATA_AXIS in mesh.shape and q.shape[0] % mesh.shape[DATA_AXIS] == 0:
         batch_axis = DATA_AXIS
     spec = P(batch_axis, axis_name, None, None)
+    kwargs = {}
+    if impl == "rdma":
+        from rho_diffusion_tpu.parallel.context_rdma import ring_attention_rdma
+
+        body = partial(
+            ring_attention_rdma,
+            axis_name=axis_name,
+            single_axis_mesh=len(mesh.axis_names) == 1,
+        )
+        # pallas out_shape carries no vma info; skip the shard_map check
+        kwargs["check_vma"] = False
+    else:
+        body = partial(ring_attention, axis_name=axis_name)
     fn = jax.shard_map(
-        partial(ring_attention, axis_name=axis_name),
+        body,
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
+        **kwargs,
     )
     return fn(q, k, v)

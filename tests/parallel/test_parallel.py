@@ -481,3 +481,64 @@ def test_ulysses_backend_dispatch_and_fallback():
     with active_mesh(make_mesh(data=2, context=4)):
         out = attention(q, k, v, backend="ulysses")  # H=2 not divisible by 4
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_attention_rdma_parity():
+    """Pallas remote-DMA ring (context_rdma.py, RHO_RING_ATTN_IMPL=rdma):
+    interpret mode executes the real make_async_remote_copy + semaphore
+    flow control on the virtual mesh; output must match both the XLA
+    ppermute ring and full attention to the XLA ring's own bound.
+
+    Context-only meshes: pallas interpret's dma_start discharge supports
+    single-axis meshes only; the (data x context) production mesh is
+    hardware-pending (see parallel/context_rdma.py docstring)."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("context",))
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (jax.random.normal(kk, (2, 64, 2, 16)) for kk in keys)
+    ref = xla_attention(q, k, v)
+    out_xla = context_sharded_attention(q, k, v, mesh, impl="xla")
+    out_rdma = context_sharded_attention(q, k, v, mesh, impl="rdma")
+    np.testing.assert_allclose(np.asarray(out_rdma), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_rdma), np.asarray(out_xla), atol=2e-5,
+    )
+
+
+def test_ring_attention_rdma_two_ring_edge():
+    """n=2 ring: single send, no flow-control signals — the degenerate
+    schedule must still match full attention."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("context",))
+    keys = jax.random.split(jax.random.PRNGKey(12), 3)
+    q, k, v = (jax.random.normal(kk, (2, 16, 2, 8)) for kk in keys)
+    ref = xla_attention(q, k, v)
+    out = context_sharded_attention(q, k, v, mesh, impl="rdma")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_attention_rdma_bf16():
+    """bf16 inputs (the production dtype) accumulate in f32 inside the
+    kernel and stay within bf16 tolerance of the f32 reference."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("context",))
+    keys = jax.random.split(jax.random.PRNGKey(13), 3)
+    q, k, v = (jax.random.normal(kk, (2, 32, 2, 8)) for kk in keys)
+    ref = xla_attention(q, k, v)
+    out = context_sharded_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        mesh, impl="rdma",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=3e-2,
+    )
+
+
+def test_ring_attention_impl_flag_validation():
+    mesh = make_mesh(data=4, context=2)
+    q = jnp.zeros((4, 8, 1, 4))
+    with pytest.raises(ValueError, match="impl"):
+        context_sharded_attention(q, q, q, mesh, impl="nope")
