@@ -188,6 +188,58 @@ while n > TO:
 noise = np.asarray(jax.random.normal(jax.random.PRNGKey(0), real.shape))
 report["noise_baseline"] = quality(noise)
 
-with open(os.path.join(OUT, "demo_distill_metrics.json"), "w") as f:
+# -- serve the student (round-4: the --spacing payoff) ---------------------
+# The trailing grid is what the cascade trained on; SamplingService's
+# spacing control makes the student a first-class serving config. Latency
+# table: distilled student vs the teacher's best few-step samplers, same
+# bucket, each with its quality columns.
+if int(os.environ.get("DEMO_SERVE", "1")):
+    from rho_diffusion_tpu.diffusion.sampling_rng import per_sample_keys
+    from rho_diffusion_tpu.serving import SamplingService
+
+    def serve_row(label, params_, **service_kw):
+        with SamplingService(
+            pipe, params_, batch_buckets=(BATCH,), max_delay_s=0.0,
+            cond_dim=4 * MC, warmup=True, **service_kw,
+        ) as svc:
+            svc.generate(conditions=np.asarray(conds), seed=5)  # warm
+            t1 = time.perf_counter()
+            res = svc.generate(conditions=np.asarray(conds), seed=5)
+            wall = time.perf_counter() - t1
+        q = quality(res.samples)
+        row = {
+            "s_per_request": round(wall, 3),
+            "volumes_per_s": round(BATCH / wall, 2),
+            **q,
+        }
+        print(f"  serve[{label}]: {row}", flush=True)
+        return row
+
+    print("== serving latency (batch bucket = %d)" % BATCH, flush=True)
+    report["serving"] = {
+        f"student-ddim-{TO}-trailing": serve_row(
+            f"student-{TO}", params,
+            sampler="ddim", num_steps=TO, spacing="trailing",
+        ),
+        "teacher-dpm++-10": serve_row(
+            "dpm++-10", teacher_params, sampler="dpm++", num_steps=10,
+        ),
+        "teacher-ddim-50": serve_row(
+            "ddim-50", teacher_params, sampler="ddim", num_steps=50,
+        ),
+    }
+
+# -- persist weights: the student is servable from disk too ----------------
+from rho_diffusion_tpu.training.checkpoint import save_model_weights  # noqa: E402
+
+save_model_weights(teacher_params, f"/tmp/rho_distill_{GRID}_teacher.npz")
+save_model_weights(params, f"/tmp/rho_distill_{GRID}_student{TO}.npz")
+report["weights"] = {
+    "teacher": f"/tmp/rho_distill_{GRID}_teacher.npz",
+    "student": f"/tmp/rho_distill_{GRID}_student{TO}.npz",
+}
+
+suffix = f"_{GRID}" if GRID != 16 else ""
+with open(os.path.join(OUT, f"demo_distill{suffix}_metrics.json"), "w") as f:
     json.dump(report, f, indent=2)
-print("wrote docs/demo/demo_distill_metrics.json", flush=True)
+print(f"wrote docs/demo/demo_distill{suffix}_metrics.json", flush=True)

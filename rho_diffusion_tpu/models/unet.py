@@ -108,10 +108,9 @@ class ResBlock(nn.Module):
         elif self.use_conv_skip:
             skip = conv_nd(self.dims, self.out_channels, 3, dtype=self.dtype, name="skip")(x)
         else:
-            skip = nn.Dense(
-                self.out_channels, dtype=self.dtype, param_dtype=jnp.float32,
-                name="skip",
-            )(x)
+            from rho_diffusion_tpu.ops.quant import dense
+
+            skip = dense(self.out_channels, dtype=self.dtype, name="skip")(x)
         return skip + h
 
 
@@ -143,15 +142,15 @@ class AttentionBlock(nn.Module):
             tokens *= s
         h = x.reshape(b, tokens, c)
         h = GroupNorm32(name="norm")(h)
-        qkv = nn.Dense(
-            3 * c, dtype=self.dtype, param_dtype=jnp.float32, name="qkv",
-        )(h)
+        from rho_diffusion_tpu.ops.quant import dense
+
+        qkv = dense(3 * c, dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(b, tokens, heads, 3 * head_dim)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         a = attention(q, k, v, backend=self.backend)
         a = a.reshape(b, tokens, c)
-        a = nn.Dense(
-            c, dtype=self.dtype, param_dtype=jnp.float32,
+        a = dense(
+            c, dtype=self.dtype,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
             name="proj_out",
         )(a)

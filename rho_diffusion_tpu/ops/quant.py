@@ -145,3 +145,69 @@ class ConvInt8(nn.Module):
         scale = (s_x * s_w.reshape(-1)).astype(jnp.float32)
         y = (y32.astype(jnp.float32) * scale + bias).astype(dt)
         return y
+
+
+class DenseInt8(nn.Module):
+    """Dense layer evaluated on the int8 MXU path (W8A8).
+
+    Parameter layout is identical to ``flax.linen.Dense`` ([in, out]
+    'kernel' + [out] 'bias'), so checkpoints load unchanged — like
+    ConvInt8, quantization is an execution-mode switch. Scales follow the
+    same scheme: per-output-channel weights, per-SAMPLE activations
+    (reduced over every non-batch axis, preserving the serving layer's
+    request-determinism contract).
+    """
+
+    features: int
+    dtype: Any = None
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (cin, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", self.bias_init, (self.features,), jnp.float32,
+        )
+        dt = self.dtype or x.dtype
+        if cin < MIN_QUANT_CHANNELS or self.features < MIN_QUANT_CHANNELS:
+            return x.astype(dt) @ kernel.astype(dt) + bias.astype(dt)
+        w_q, s_w = quantize_int8(kernel, axes=(0,))  # per-output-channel
+        x_q, s_x = quantize_int8(x, axes=tuple(range(1, x.ndim)))
+        y32 = jax.lax.dot_general(
+            x_q, w_q,
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scale = (s_x * s_w.reshape(-1)).astype(jnp.float32)
+        return (y32.astype(jnp.float32) * scale + bias).astype(dt)
+
+
+def dense(
+    features: int,
+    dtype: Any = None,
+    kernel_init: Any = nn.initializers.lecun_normal(),
+    bias_init: Any = nn.initializers.zeros,
+    name: str | None = None,
+):
+    """A Dense layer that honours the active quantization mode.
+
+    Used at the UNet's matmul-heavy Dense sites (attention qkv/proj and
+    channel-mixing skips) so ``quantize='int8'`` covers them alongside the
+    convs. The time-MLP Denses stay float on purpose: their FLOPs are
+    O(B x emb^2) — invisible next to the conv/attention work — and they
+    feed every scale-shift in the network (the usual quality-critical
+    exclusion, like the 1-channel input/output convs).
+    """
+    if get_conv_quant() == "int8":
+        return DenseInt8(
+            features=features, dtype=dtype,
+            kernel_init=kernel_init, bias_init=bias_init, name=name,
+        )
+    return nn.Dense(
+        features, dtype=dtype, param_dtype=jnp.float32,
+        kernel_init=kernel_init, bias_init=bias_init, name=name,
+    )
