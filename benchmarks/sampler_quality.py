@@ -134,7 +134,19 @@ def run(
 
 import os
 
-if os.environ.get("SQ_ROWS") == "karras":
+if os.environ.get("SQ_ROWS") == "unipc":
+    # focused A/B: the round-4 UniPC-p2 corrector vs DPM-Solver++(2M) at
+    # equal NFE (both 1 model eval/step on the same uniform-lambda grid)
+    rows = [
+        run("unipc", 5),
+        run("dpm++", 5),
+        run("unipc", 10),
+        run("dpm++", 10),
+        run("unipc", 15),
+        run("dpm++", 15),
+        run("ddim", 50),
+    ]
+elif os.environ.get("SQ_ROWS") == "karras":
     # focused A/B: Karras rho=7 grid vs the uniform-t default at equal cost
     rows = [
         run("ddim", 10),
@@ -168,8 +180,8 @@ out = {
     "rows": rows,
 }
 name = (
-    "sampler_quality_karras.json"
-    if os.environ.get("SQ_ROWS") == "karras"
+    f"sampler_quality_{os.environ['SQ_ROWS']}.json"
+    if os.environ.get("SQ_ROWS")
     else "sampler_quality.json"
 )
 with open(os.path.join(OUT, name), "w") as f:

@@ -41,3 +41,38 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 assert jax.default_backend() == "cpu", (
     f"tests must run on CPU, got {jax.default_backend()}"
 )
+
+# ---------------------------------------------------------------------------
+# Two-tier suite (VERDICT r3 item 6): the ~40 multi-minute SPMD/integration
+# tests carry @pytest.mark.heavy and are SKIPPED by default so the dev loop
+# (`pytest tests/ -q`) stays under ~15 min on this 1-core host. The
+# round-end full run passes --heavy and executes everything — zero
+# coverage loss, it just runs once per round instead of per invocation.
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--heavy",
+        action="store_true",
+        default=False,
+        help="also run @pytest.mark.heavy integration tests (full tier)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: multi-minute SPMD/integration test — skipped unless --heavy",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--heavy"):
+        return
+    skip = pytest.mark.skip(
+        reason="heavy tier: run with --heavy (round-end full run)",
+    )
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)

@@ -248,6 +248,7 @@ def test_loader_worker_threads_match_serial():
     )
 
 
+@pytest.mark.heavy
 def test_spectroscopy_through_loader_and_1d_pipeline(spectro_h5):
     """Dict samples (spectrum/params) flow through collate into a 1D DDPM
     training step."""

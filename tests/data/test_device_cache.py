@@ -94,6 +94,7 @@ def test_mid_epoch_start_matches_host():
         np.testing.assert_array_equal(hb["data"], np.asarray(cb["data"]))
 
 
+@pytest.mark.heavy
 def test_trainer_device_cache_loss_parity(tmp_path):
     """Full Trainer fit with and without the cache: identical loss history
     (the cache changes the transport, not the values)."""
@@ -212,6 +213,7 @@ def test_sharded_cache_budget_scales_with_mesh():
     assert cache.nbytes >= nbytes
 
 
+@pytest.mark.heavy
 def test_trainer_sharded_cache_loss_parity_on_mesh(tmp_path):
     """training.device_cache under training.mesh {"data": 4}: the sharded
     table (default device_cache_shard=True) reproduces the host-streamed

@@ -134,6 +134,7 @@ def test_remat_variant_matches():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_degenerate_depth_config_warns():
     """Regression fence for the bisected backend bug (RESULTS.md "Known
     backend issue"): 3D configs whose deep levels collapse to spatial

@@ -87,6 +87,7 @@ def _tiny_pipe():
     )
 
 
+@pytest.mark.heavy
 def test_quantized_model_forward_and_sampling():
     """A checkpoint trained with the float stack runs quantized unchanged:
     same param tree, close forward outputs, finite samples."""
@@ -189,6 +190,7 @@ def test_dense_int8_small_features_stay_float():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_quantized_unet_covers_attention_dense():
     """A UNet with attention traced under int8 must contain int8 dot ops
     for qkv/proj (not just convs), produce finite output, and share the

@@ -66,6 +66,7 @@ def _spawn_workers() -> tuple[list[subprocess.Popen], list[str]]:
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_two_process_training_matches_single_process():
     procs, outs = _spawn_workers()
     flake_markers = (

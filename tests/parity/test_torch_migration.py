@@ -198,6 +198,7 @@ def test_load_weights_auto_requires_arch_kwargs(saved_pth):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_inference_cli_accepts_pth(saved_pth, tmp_path):
     """scripts/inference.py -p model.pth: auto-transplant + finite samples
     (the reference's own inference.py:129-131 torch.load path parity)."""

@@ -69,6 +69,7 @@ def _live_params(pipe):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+@pytest.mark.heavy
 def test_cond_mask_semantics(cond_batch):
     """mask=1 == no mask; mask=0 makes the conditioning vanish (null cond)."""
     pipe = _pipe()
@@ -203,6 +204,7 @@ def _ddpm_pipe(**kw):
     )
 
 
+@pytest.mark.heavy
 def test_ddpm_cond_dropout_training(cond_batch):
     """The DDPM pipeline trains with conditioning dropout too — and with
     dropout OFF its RNG stream (loss) is unchanged vs a no-CFG pipeline."""
@@ -255,6 +257,7 @@ def test_ddpm_guided_sampling(cond_batch):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.heavy
 def test_sampling_with_guidance(cond_batch):
     """End-to-end guided sampling: finite, differs from unguided, and
     scale=1.0 reproduces the unguided trajectory exactly."""

@@ -104,6 +104,7 @@ def _pipe():
     )
 
 
+@pytest.mark.heavy
 def test_distill_cascade_and_grid_sampler():
     """8 -> 4 -> 2 cascade on a tiny UNet: losses finite, per-stage curves
     recorded, and the distilled-grid 2-step sampler returns finite samples

@@ -11,6 +11,7 @@ from rho_diffusion_tpu.diffusion import DDPM, LinearSchedule
 from rho_diffusion_tpu.training.trainer import Trainer, build_pipeline_from_config
 
 
+@pytest.mark.heavy
 def test_1d_conv_path_trains_and_samples():
     """n=1 UNet (Conv1d path — the spectroscopy testbed, BASELINE.md)."""
     pipe = DDPM(
@@ -61,6 +62,7 @@ def _smoke_config(tmp_path, pipeline_name):
 @pytest.mark.parametrize(
     "name", ["DDPM", "GaussianDiffusionPipeline", "DiffusersDDPMPipeline"],
 )
+@pytest.mark.heavy
 def test_pipeline_selection_from_config(tmp_path, name):
     cfg = _smoke_config(tmp_path, name)
     pipe = build_pipeline_from_config(cfg)
@@ -78,6 +80,7 @@ def test_unknown_pipeline_errors(tmp_path):
         build_pipeline_from_config(cfg, pipeline_name="NoSuchPipeline")
 
 
+@pytest.mark.heavy
 def test_deep_galaxy_conditioned_training(tmp_path):
     """MultiEmbeddings raw-row conditioning end-to-end through the Trainer
     (the reference's DeepGalaxy call stack, SURVEY §3.1)."""

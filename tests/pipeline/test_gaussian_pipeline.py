@@ -38,6 +38,7 @@ def batch():
     }
 
 
+@pytest.mark.heavy
 def test_epsilon_fixed_large_trains_and_samples(batch):
     pipe = GaussianDiffusionPipeline(
         backbone="UNetv2",
@@ -61,6 +62,7 @@ def test_epsilon_fixed_large_trains_and_samples(batch):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.heavy
 def test_learned_range_vlb_training(batch):
     """Learned-range variance: backbone emits 2C channels; loss carries a
     vb term (reference gaussian_diffusion.py:895-917)."""
@@ -141,6 +143,7 @@ def test_validation_step(batch):
     np.testing.assert_allclose(float(m["train_loss"]), float(m2["train_loss"]))
 
 
+@pytest.mark.heavy
 def test_classifier_guidance_end_to_end(batch):
     """Drive cond_grad_fn through BOTH samplers with a real (toy, trained-
     for-2-steps) classifier — the path the reference only stubbed
@@ -210,6 +213,7 @@ def test_classifier_guidance_end_to_end(batch):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
 
 
+@pytest.mark.heavy
 def test_respaced_ancestral_ddpm_sampler(batch):
     """Respacing applies to the ANCESTRAL sampler too (ROADMAP round-1 #7):
     a 10-step respaced DDPM rollout must be finite and statistically close

@@ -121,6 +121,7 @@ def jtu_first(tree):
     return jax.tree_util.tree_leaves(tree)[0]
 
 
+@pytest.mark.heavy
 def test_validation_split_and_logging(tmp_path):
     config = _config(tmp_path, val_fraction=0.25)
     trainer = Trainer(config, dataset=ToyDataset(), work_dir=tmp_path)
@@ -133,6 +134,7 @@ def test_validation_split_and_logging(tmp_path):
     assert vals and np.isfinite(vals[0]["val_loss"])
 
 
+@pytest.mark.heavy
 def test_mesh_config_selects_layout(tmp_path):
     """JSON config alone selects the DP/CP mesh (VERDICT round-1 item 4)."""
     config = _config(tmp_path, mesh={"data": 4, "context": 2})
@@ -184,6 +186,7 @@ def test_loggers_pluggable(tmp_path):
     assert len(csv_text) >= 2
 
 
+@pytest.mark.heavy
 def test_sharded_checkpoint_roundtrip_tp_zero1(tmp_path):
     """Production resume under SPMD: a TrainState whose params are
     tensor-parallel-sharded and whose optimizer moments are ZeRO-1-sharded
@@ -228,6 +231,7 @@ def test_sharded_checkpoint_roundtrip_tp_zero1(tmp_path):
     assert int(state2.step) == int(state.step) + 2
 
 
+@pytest.mark.heavy
 def test_fsdp_checkpoint_roundtrip_sharded_restore(tmp_path):
     """ZeRO-3 end to end without full materialisation: a fresh FSDP run
     initialises straight into its shards (create_state_fsdp), checkpoints,

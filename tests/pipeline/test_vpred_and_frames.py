@@ -77,6 +77,7 @@ def test_velocity_target_closed_form():
     assert float(jnp.max(terms["mse"])) < 1e-10
 
 
+@pytest.mark.heavy
 def test_v_prediction_pipeline_trains_and_samples(batch):
     pipe = DiffusersDDPMPipeline(
         backbone="UNetv2",

@@ -73,6 +73,7 @@ def test_reverse_process_trailing_spacing_runs():
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_distill_cli_then_trailing_inference(tmp_path):
     config = json.loads((REPO / "examples" / "config_smoke.json").read_text())
     config["pipeline"] = {"name": "GaussianDiffusionPipeline", "kwargs": {

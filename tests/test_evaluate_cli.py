@@ -15,6 +15,7 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_evaluate_cli_reports_metrics(tmp_path):
     config = json.loads((REPO / "examples" / "config_smoke.json").read_text())
     config["training"]["checkpoint_dir"] = str(tmp_path / "ckpts")

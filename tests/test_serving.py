@@ -423,6 +423,7 @@ def test_data_parallel_mesh_service_matches_single_device():
         SamplingService(pipe, params, batch_buckets=(1, 2), mesh=mesh)
 
 
+@pytest.mark.heavy
 def test_context_parallel_mesh_service_matches_single_device():
     """Long-context serving: a data=2 x context=2 mesh shards the volume
     depth (GSPMD halo convs) and the attention tokens (ring attention via
@@ -479,6 +480,7 @@ def test_warmup_fails_fast_on_broken_service():
         )
 
 
+@pytest.mark.heavy
 def test_from_config_derives_cond_dim_and_warns(tmp_path):
     """from_config must serve a class-conditional config out of the box
     (deriving the condition-row width from the model kwargs) and report a
@@ -595,6 +597,7 @@ def test_hot_reload_swaps_weights(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.heavy
 def test_serve_cli_end_to_end(tmp_path):
     """scripts/serve.py: config -> HTTP service -> finite samples."""
     import os

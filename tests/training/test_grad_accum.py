@@ -51,6 +51,7 @@ def batch():
     }
 
 
+@pytest.mark.heavy
 def test_accumulated_step_equals_manual_average(batch):
     """training_step with grad_accum=4 == optax update on the mean of the
     four per-microbatch gradients, and train_loss == mean of micro losses."""
@@ -95,6 +96,7 @@ def test_accumulated_step_equals_manual_average(batch):
         )
 
 
+@pytest.mark.heavy
 def test_grad_norm_matches_accumulated_gradient(batch):
     """The logged grad_norm is the norm of the AVERAGED gradient (what the
     optimizer consumed), not of any single microbatch."""

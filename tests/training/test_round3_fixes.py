@@ -127,6 +127,7 @@ def _config(tmp_path, **training_overrides):
     return ExperimentConfig.from_json(p)
 
 
+@pytest.mark.heavy
 def test_midepoch_resume_consumes_identical_sequence(tmp_path):
     """A run resumed from a mid-epoch step must consume exactly the batches
     the uninterrupted run would have consumed from that point (VERDICT r2
