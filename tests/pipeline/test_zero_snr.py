@@ -248,3 +248,22 @@ class TestEndToEnd:
         # uniform-t would MISS the terminal step — the documented flaw
         r2 = respace(c, 5, spacing="uniform-t")
         assert int(r2.timestep_map[-1]) != T - 1
+
+
+def test_linear_schedule_zero_terminal_snr_kwarg():
+    """Config-expressible zero-SNR (round 4): LinearSchedule's own factory
+    accepts zero_terminal_snr=True — the knob the DeepGalaxy quality
+    recipe drives through examples configs (RESULTS.md round 4)."""
+    from rho_diffusion_tpu.diffusion.schedule import LinearSchedule
+    from rho_diffusion_tpu.registry import registry
+
+    s = LinearSchedule(50, zero_terminal_snr=True)
+    assert float(s.alpha_bar_t[-1]) == 0.0
+    assert float(np.asarray(s.beta_t)[-1]) == 1.0
+    # reachable through the registry (the config path)
+    s2 = registry.get("schedules", "LinearSchedule")(
+        num_steps=50, zero_terminal_snr=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s.beta_t), np.asarray(s2.beta_t))
+    # default unchanged
+    assert float(LinearSchedule(50).alpha_bar_t[-1]) > 0.0
