@@ -34,6 +34,13 @@ INFERENCE ONLY: round() has zero gradient everywhere, so the trainer
 refuses to build a train step while quantization is active
 (diffusion/base.py:make_train_step).
 
+Measured guidance (RESULTS.md round 4): int8 is a BATCHED-throughput
+lever (+9% volumes/s at 32^3 ddim-50, +2% at 64^3 dpm++-10, quality
+neutral on the sampler-quality harness) but REGRESSES single-request
+bucket-1 latency 2.6-2.7x at both grids — the per-sample scale
+reductions and quant/dequant traffic dominate a batch-1 launch. Quantize
+batched services; keep bf16 for latency-sensitive bucket-1 serving.
+
 Enable via ``set_conv_quant("int8")`` / the ``conv_quant`` context manager,
 env ``RHO_CONV_INT8=1``, ``scripts/inference.py --quant int8``, or
 ``SamplingService(quantize="int8")``. The flag is read at TRACE time —
