@@ -119,7 +119,9 @@ def main() -> None:
     if hasattr(pipeline, "coeffs"):  # GaussianDiffusion family
         kwargs.update({
             "sampler": sampler, "num_steps": num_steps,
-            "spacing": args.spacing,
+            # CLI flag > inference.spacing config (e.g. a student config
+            # pinning 'trailing') > sampler-aware default
+            "spacing": args.spacing or config.inference.spacing,
         })
     samples = pipeline.generate(
         params,
