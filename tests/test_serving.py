@@ -750,3 +750,44 @@ def test_delivery_exception_does_not_kill_pull_thread():
         assert service._puller.is_alive()
     finally:
         service.close()
+
+
+def test_from_config_honours_inference_spacing(tmp_path):
+    """A student config pinning inference.spacing='trailing' (the
+    scripts/distill.py serving contract) flows into the compiled
+    samplers without any CLI flag."""
+    config = {
+        "experiment": "serve-student",
+        "model": {
+            "name": "UNetv2",
+            "kwargs": dict(
+                dims=2, in_channels=1, out_channels=1, model_channels=8,
+                num_res_blocks=1, data_shape=[8, 8], channel_mult=[1, 2],
+                attention_resolutions=[],
+            ),
+        },
+        "dataset": {"name": "SphericalHarmonicDataset", "kwargs": {"max_l": 2}},
+        "optimizer": {"name": "AdamW", "kwargs": {"lr": 1e-3}},
+        "noise_schedule": {
+            "name": "LinearSchedule",
+            "kwargs": {"num_steps": 20, "beta_1": 2e-4, "beta_T": 1e-2},
+        },
+        "pipeline": {
+            "name": "GaussianDiffusionPipeline",
+            "kwargs": {"model_mean_type": "epsilon"},
+        },
+        "training": {
+            "batch_size": 4, "max_epochs": 1, "loss_fn": "MSELoss",
+            "checkpoint_dir": str(tmp_path / "none"),
+        },
+        "inference": {"sampler": "ddim", "ddim_steps": 4, "spacing": "trailing"},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(config))
+    with SamplingService.from_config(
+        cfg_path, log=lambda m: None, batch_buckets=(1,), max_delay_s=0.0,
+    ) as service:
+        assert service.stats()["spacing"] == "trailing"
+        assert service.num_steps == 4
+        res = service.generate(n=1, seed=0)
+        assert np.isfinite(res.samples).all()
