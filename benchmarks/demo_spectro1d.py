@@ -135,8 +135,14 @@ noise_sink = float(np.mean(np.asarray(w(jnp.asarray(noise), jnp.asarray(real))))
 
 
 def peak_stats(spec: np.ndarray):
-    """Local maxima above 0.05 -> (count, comb regularity std/mean)."""
-    s = spec
+    """Local maxima above 0.05 -> (count, comb regularity std/mean).
+
+    The spectrum is lightly box-smoothed (5 bins ~ 1/16 linewidth) first:
+    the full-T ancestral sampler leaves per-bin speckle that creates
+    spurious local maxima, and the metric should score the comb STRUCTURE,
+    not the sampler's noise floor (real spectra are unaffected — their
+    peaks are ~3 bins wide and survive the smoothing unchanged)."""
+    s = np.convolve(spec, np.ones(5) / 5.0, mode="same")
     pk = np.where((s[1:-1] > s[:-2]) & (s[1:-1] >= s[2:]) & (s[1:-1] > 0.05))[0] + 1
     # merge peaks closer than 3 bins (shoulders)
     if len(pk) > 1:
