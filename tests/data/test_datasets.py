@@ -276,3 +276,83 @@ def test_spectroscopy_through_loader_and_1d_pipeline(spectro_h5):
     state = pipe.create_state(jax.random.PRNGKey(0))
     state, m = pipe.training_step(state, batch)
     assert np.isfinite(float(m["train_loss"]))
+
+
+# ---------------------------------------------------------------------------
+# Synthetic corpus generators (round 4): real schemas, deterministic physics
+# ---------------------------------------------------------------------------
+
+def test_galaxy_synth_schema_and_determinism(tmp_path):
+    """galaxy_synth writes the exact DeepGalaxy layout and renders a pure
+    function of (s, m, t, c) with the merger physics the quality demo
+    scores against."""
+    from rho_diffusion_tpu.data.galaxy_synth import (
+        render_merger,
+        write_deep_galaxy_h5,
+    )
+
+    a = render_merger(0.5, 1.0, 400, 0, size=128)
+    assert a.shape == (128, 128) and np.isfinite(a).all()
+    np.testing.assert_array_equal(a, render_merger(0.5, 1.0, 400, 0, size=128))
+    # every condition axis moves the image
+    for other in (
+        render_merger(1.0, 1.0, 400, 0, size=128),  # s
+        render_merger(0.5, 0.5, 400, 0, size=128),  # m
+        render_merger(0.5, 1.0, 500, 0, size=128),  # t
+        render_merger(0.5, 1.0, 400, 3, size=128),  # camera
+    ):
+        assert np.abs(a - other).max() > 1e-3
+    # separation shrinks as the merger progresses (flux second moment)
+    def spread(img):
+        yy, xx = np.mgrid[0:128, 0:128]
+        w = img / img.sum()
+        cx, cy = (xx * w).sum(), (yy * w).sum()
+        return (w * ((xx - cx) ** 2 + (yy - cy) ** 2)).sum()
+    assert spread(render_merger(1.0, 1.0, 630, 0, size=128)) < spread(
+        render_merger(1.0, 1.0, 310, 0, size=128),
+    )
+
+    p = tmp_path / "g.h5"
+    write_deep_galaxy_h5(
+        str(p), s_values=[0.5], m_values=[1.0], cameras=[0, 1],
+        t_values=[400, 450], size=64,
+    )
+    import h5py
+
+    with h5py.File(p, "r") as f:
+        assert set(f.keys()) == {"s_0.5_m_1"}
+        g = f["s_0.5_m_1"]
+        assert g["images_camera_00"].shape == (2, 64, 64)
+        assert g["images_camera_00"].dtype == np.uint16
+        np.testing.assert_array_equal(g["t_myr_camera_01"][:], [400, 450])
+    ds = DeepGalaxyDataset(str(p), use_emb_as_labels=False,
+                           dset_name_pattern="s_.*", camera_pos=[0, 1])
+    assert len(ds) == 4
+    img, lab = ds[0]
+    assert img.shape == (128, 128, 1)
+
+
+def test_spectro_synth_rotor_physics(tmp_path):
+    """spectro_synth: rigid-rotor line combs (spacing ~ 2B), Boltzmann
+    intensity envelope in the reference's log10 band, loadable by
+    SpectroscopyDataset."""
+    from rho_diffusion_tpu.data.spectro_synth import (
+        rotor_transitions,
+        write_rotor_spectra_h5,
+    )
+
+    centers, logI = rotor_transitions(B=800.0, T=1e6)
+    assert (np.diff(centers) > 0).all()
+    # line spacing = 2B up to the tiny distortion term
+    np.testing.assert_allclose(np.diff(centers), 1600.0, rtol=1e-6)
+    assert logI.max() <= -3.0 + 1e-9 and logI.min() >= -8.0 - 1e-9
+
+    p = tmp_path / "s.h5"
+    write_rotor_spectra_h5(str(p), n_molecules=3, seed=1)
+    ds = SpectroscopyDataset(str(p), grid_size=512, linewidth=60.0)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["spectrum"].shape == (512, 1)
+    assert item["params"].shape == (4,)
+    # deterministic at fixed linewidth (the quality-demo contract)
+    np.testing.assert_array_equal(item["spectrum"], ds[0]["spectrum"])
