@@ -15,11 +15,17 @@ fidelity:
 * **Sinkhorn divergence** between the generated set and the real set;
 * a real-vs-generated PNG grid over (s, t).
 
-The config is used as-is (same model, schedule, pipeline, optimizer); only
-the dataset path, epoch budget, and cosine horizon are overridden.
+Two recipes (DEMO_RECIPE): "reference" runs the example config verbatim
+(epsilon DDPM — converges in training loss but mis-tracks the frames'
+dominant DC at sampling time, the documented arXiv:2305.08891 failure;
+see benchmarks/galaxy_dc_probe.py); "zero_snr" (default) is the
+TPU-native recipe — zero-terminal-SNR linear schedule + v-prediction +
+trailing DDIM — same model/data/optimizer, measured matched MSE 0.00068
+vs 1.21 (RESULTS.md round 4).
 
-Env knobs: DEMO_EPOCHS (1400), DEMO_BATCH (21), DEMO_SMOKE (0 — CPU-sized
-smoke run), DEMO_WORKDIR (/tmp/rho_galaxy2d).
+Env knobs: DEMO_RECIPE (zero_snr), DEMO_EPOCHS (1400), DEMO_BATCH (25),
+DEMO_SMOKE (0 — CPU-sized smoke run), DEMO_WORKDIR
+(/tmp/rho_galaxy2d_<recipe>).
 """
 from __future__ import annotations
 
