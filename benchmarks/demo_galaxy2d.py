@@ -59,7 +59,12 @@ BATCH = int(os.environ.get("DEMO_BATCH", "25"))
 #   recipe — zero-terminal-SNR linear schedule + v-prediction + trailing
 #   DDIM (arXiv:2305.08891), all config-expressible here.
 RECIPE = os.environ.get("DEMO_RECIPE", "zero_snr")
-WORKDIR = os.environ.get("DEMO_WORKDIR", "/tmp/rho_galaxy2d_" + RECIPE)
+# artifact/workdir tag: camera-axis runs get their own names
+TAG = RECIPE + (
+    "_cam" + os.environ["DEMO_CAMERAS"].replace(",", "")
+    if os.environ.get("DEMO_CAMERAS") else ""
+)
+WORKDIR = os.environ.get("DEMO_WORKDIR", "/tmp/rho_galaxy2d_" + TAG)
 H5 = os.path.join(WORKDIR, "output_bw_512.h5")
 
 os.makedirs(WORKDIR, exist_ok=True)
@@ -87,6 +92,12 @@ if not os.path.exists(H5):
 # --------------------------------------------------------------- config --
 config = ExperimentConfig.from_json(os.path.join(REPO, "examples", "config_deep_galaxy.json"))
 config.dataset.kwargs["path"] = H5
+if os.environ.get("DEMO_CAMERAS"):
+    # e.g. "0,1": exercises the camera-conditioning axis too (the corpus
+    # is written with cameras 0 and 1; the example config selects [0])
+    config.dataset.kwargs["camera_pos"] = [
+        int(c) for c in os.environ["DEMO_CAMERAS"].split(",")
+    ]
 config.training.batch_size = BATCH
 config.training.max_epochs = EPOCHS
 config.training.min_epochs = 1
@@ -199,10 +210,10 @@ for s_val in s_vals:
 plot_image_grid(
     np.concatenate(rows),
     ncols=len(t_show),
-    filename=os.path.join(OUT, f"demo_galaxy2d_{RECIPE}_grid.png"),
+    filename=os.path.join(OUT, f"demo_galaxy2d_{TAG}_grid.png"),
 )
 
-with open(os.path.join(OUT, f"demo_galaxy2d_{RECIPE}_metrics.json"), "w") as f:
+with open(os.path.join(OUT, f"demo_galaxy2d_{TAG}_metrics.json"), "w") as f:
     json.dump(
         {
             "epochs": EPOCHS,
@@ -217,9 +228,9 @@ with open(os.path.join(OUT, f"demo_galaxy2d_{RECIPE}_metrics.json"), "w") as f:
             "noise_baseline": {"mse": noise_mse, "sinkhorn": noise_sink},
             "conditioning_separates": bool(matched < 0.5 * mismatched),
             "smoke": bool(SMOKE),
-            "recipe": RECIPE,
+            "recipe": TAG,
         },
         f,
         indent=2,
     )
-print(f"wrote docs/demo/demo_galaxy2d_{RECIPE}_metrics.json", flush=True)
+print(f"wrote docs/demo/demo_galaxy2d_{TAG}_metrics.json", flush=True)
