@@ -654,17 +654,21 @@ def sample_loop(
         buf = jnp.zeros((t_ckpt.shape[0], *shape), x.dtype)
 
     if is_solver(sampler):
-        # Deterministic ODE solver from the plug-in registry
-        # (diffusion/solvers.py): per-step scalar tables precomputed over
-        # the (possibly respaced) grid at trace time (jnp, so they stay
-        # valid — and constant-folded — under an outer jit), one generic
-        # lax.scan here: the body is one model evaluation plus the
-        # solver's pure MXU/VPU update. New solvers register there; this
-        # loop never changes.
+        # ODE/SDE solver from the plug-in registry (diffusion/solvers.py):
+        # per-step scalar tables precomputed over the (possibly respaced)
+        # grid at trace time (jnp, so they stay valid — and constant-folded
+        # — under an outer jit), one generic lax.scan here: the body is one
+        # model evaluation plus the solver's pure MXU/VPU update. New
+        # solvers register there; this loop never changes. Stochastic
+        # programs (prog.stochastic, a static flag) get a fresh
+        # standard-normal draw per step through the same RNG contract as
+        # the ancestral loop: per-row typed keys fold in the ORIGINAL
+        # timestep tag, so each sample's trajectory stays independent of
+        # its co-batched neighbours (the serving micro-batcher contract).
         prog = build_solver(sampler, c.alphas_cumprod)
 
         def solver_body(carry, s):
-            x, mem, buf = carry
+            x, mem, key, buf = carry
             tt = jnp.full((shape[0],), s["i"], jnp.int32)
             out = p_mean_variance(
                 c, model_fn, x, tt, mean_type, var_type,
@@ -673,16 +677,26 @@ def sample_loop(
             )
             if cond_grad_fn is not None:
                 out = condition_score(c, cond_grad_fn, out, x, tt)
-            x, mem = prog.step(x, out["pred_xstart"], s, mem)
+            if prog.stochastic:
+                if per_row:
+                    noise = normal_like(
+                        keys_at_step(key, c.timestep_map[s["i"]]), shape,
+                    ).astype(x.dtype)
+                else:
+                    key, sub = jax.random.split(key)
+                    noise = jax.random.normal(sub, shape, x.dtype)
+            else:
+                noise = jnp.zeros((), x.dtype)  # ignored by the program
+            x, mem = prog.step(x, out["pred_xstart"], s, mem, noise)
             if buf is not None:
                 hits = (t_ckpt == c.timestep_map[s["i"]]).reshape(
                     -1, *((1,) * x.ndim),
                 )
                 buf = jnp.where(hits, x[None], buf)
-            return (x, mem, buf), (x if progressive else None)
+            return (x, mem, key, buf), (x if progressive else None)
 
-        (x, _, buf), frames = jax.lax.scan(
-            solver_body, (x, prog.init_mem(x), buf), prog.xs,
+        (x, _, _, buf), frames = jax.lax.scan(
+            solver_body, (x, prog.init_mem(x), scan_rng, buf), prog.xs,
         )
         if t_checkpoints is not None:
             return x, buf

@@ -33,6 +33,7 @@ from rho_diffusion_tpu.config import ExperimentConfig
 from rho_diffusion_tpu.data.loader import DataLoader, prefetch_to_device
 from rho_diffusion_tpu.diffusion.base import AbstractDiffusionPipeline
 from rho_diffusion_tpu.parallel.mesh import (
+    DATA_AXIS,
     active_mesh,
     batch_sharding,
     make_mesh,
@@ -439,7 +440,7 @@ class Trainer:
                     # budget); replicated on a single device
                     shard_over_data=(
                         cfg.device_cache_shard
-                        and self.mesh.shape.get("data", 1) > 1
+                        and self.mesh.shape.get(DATA_AXIS, 1) > 1
                     ),
                 )
                 self._device_cache = device_cache

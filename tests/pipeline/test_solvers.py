@@ -125,6 +125,122 @@ def test_solver_orders_on_smooth_score():
     assert errs["unipc"] < 0.01, errs
 
 
+class TestStochasticSeam:
+    """RNG lane (round 5, VERDICT r4 missing #1): ``SolverProgram.step``
+    carries a per-step standard-normal draw; stochastic programs consume
+    it, deterministic ones ignore it."""
+
+    def test_registry_flags(self):
+        assert is_solver("ancestral") and is_solver("sde-dpm++")
+        assert build_solver("ancestral", np.linspace(0.99, 0.01, 8)).stochastic
+        assert build_solver("sde-dpm++", np.linspace(0.99, 0.01, 8)).stochastic
+        assert not build_solver("dpm++", np.linspace(0.99, 0.01, 8)).stochastic
+
+    def test_deterministic_solvers_ignore_rng(self):
+        c = respace(_coeffs(100), 8, spacing="uniform-lambda")
+        x_T = jnp.asarray(
+            np.random.default_rng(3).normal(size=(2, 4, 4, 1)).astype(np.float32),
+        )
+        outs = [
+            np.asarray(sample_loop(
+                c, lambda x, t: jnp.zeros_like(x), x_T.shape,
+                jax.random.PRNGKey(k), ModelMeanType.EPSILON,
+                ModelVarType.FIXED_SMALL, sampler="dpm++",
+                clip_denoised=False, x_T=x_T,
+            ))
+            for k in (0, 1)
+        ]
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+    def test_ancestral_seam_matches_ddim_eta1(self):
+        """Seam 'ancestral' == DDIM eta=1 (identical per-transition mean
+        and sigma_small variance, Song et al. eq. 16). Both loops split the
+        same scan key per step, so with the same rng the noise draws match
+        and the trajectories agree to float tolerance — this pins the RNG
+        lane's key discipline AND the posterior coefficient tables."""
+        c = respace(_coeffs(200), 16, spacing="uniform-t")
+        abar = jnp.asarray(np.asarray(c.alphas_cumprod, np.float32))
+
+        def model(x, t):
+            ab = abar[t].reshape(-1, *((1,) * (x.ndim - 1)))
+            return 0.2 * jnp.sqrt(1.0 - ab) * x  # smooth nonzero eps-hat
+
+        # model_fn receives ORIGINAL timesteps; map them back to respaced
+        # indices for the toy model's table
+        tmap = np.asarray(c.timestep_map)
+        inv = np.zeros(int(tmap.max()) + 1, np.int32)
+        inv[tmap] = np.arange(len(tmap))
+        inv = jnp.asarray(inv)
+        model_fn = lambda x, t: model(x, inv[t])
+
+        x_T = jnp.asarray(
+            np.random.default_rng(5).normal(size=(3, 4, 4, 1)).astype(np.float32),
+        )
+        kw = dict(
+            mean_type=ModelMeanType.EPSILON,
+            var_type=ModelVarType.FIXED_SMALL,
+            clip_denoised=False,
+            x_T=x_T,
+            shape=x_T.shape,
+        )
+        a = sample_loop(
+            c, model_fn, rng=jax.random.PRNGKey(7), sampler="ancestral", **kw,
+        )
+        d = sample_loop(
+            c, model_fn, rng=jax.random.PRNGKey(7), sampler="ddim", eta=1.0, **kw,
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d), atol=2e-5)
+
+    def test_sde_dpmpp_marginal_on_analytic_score(self):
+        """With the exact score of N(mu, s2) data, SDE-DPM++(2M) must
+        produce samples whose mean/variance match the data distribution —
+        the stochastic counterpart of the deterministic exactness test."""
+        T = 400
+        c = respace(_coeffs(T), 24, spacing="uniform-lambda")
+        abar_full = jnp.asarray(
+            np.asarray(_coeffs(T).alphas_cumprod, np.float32),
+        )
+        mu, s2 = 0.3, 0.25
+
+        def model(x, t):
+            ab = abar_full[t].reshape(-1, *((1,) * (x.ndim - 1)))
+            return jnp.sqrt(1.0 - ab) * (x - jnp.sqrt(ab) * mu) / (
+                ab * s2 + 1.0 - ab
+            )
+
+        n = 2048
+        out = np.asarray(sample_loop(
+            c, model, (n, 1, 1, 1), jax.random.PRNGKey(11),
+            ModelMeanType.EPSILON, ModelVarType.FIXED_SMALL,
+            sampler="sde-dpm++", clip_denoised=False,
+        )).ravel()
+        assert np.isfinite(out).all()
+        assert abs(out.mean() - mu) < 4.0 * np.sqrt(s2 / n) + 0.02
+        assert abs(out.var() - s2) < 0.05
+
+    def test_per_row_keys_batch_independence(self):
+        """Per-sample typed keys: a row's stochastic trajectory must not
+        depend on its co-batched neighbours (serving micro-batch contract,
+        now extended through the solver seam's RNG lane)."""
+        from rho_diffusion_tpu.diffusion.sampling_rng import per_sample_keys
+
+        c = respace(_coeffs(100), 8, spacing="uniform-t")
+        model = lambda x, t: jnp.zeros_like(x)
+        kw = dict(
+            mean_type=ModelMeanType.EPSILON,
+            var_type=ModelVarType.FIXED_SMALL,
+            clip_denoised=False,
+        )
+        k3 = per_sample_keys(0, 3)
+        out3 = np.asarray(sample_loop(
+            c, model, (3, 4, 4, 1), k3, sampler="sde-dpm++", **kw,
+        ))
+        out1 = np.asarray(sample_loop(
+            c, model, (1, 4, 4, 1), k3[:1], sampler="sde-dpm++", **kw,
+        ))
+        np.testing.assert_allclose(out3[:1], out1, atol=1e-6)
+
+
 class TestPipelineEndToEnd:
     @pytest.fixture(scope="class")
     def pipe(self):
