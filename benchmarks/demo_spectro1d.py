@@ -134,28 +134,7 @@ noise_nn = float(
 noise_sink = float(np.mean(np.asarray(w(jnp.asarray(noise), jnp.asarray(real)))))
 
 
-def peak_stats(spec: np.ndarray):
-    """Local maxima above 0.05 -> (count, comb regularity std/mean).
-
-    The spectrum is lightly box-smoothed (5 bins ~ 1/16 linewidth) first:
-    the full-T ancestral sampler leaves per-bin speckle that creates
-    spurious local maxima, and the metric should score the comb STRUCTURE,
-    not the sampler's noise floor (real spectra are unaffected — their
-    peaks are ~3 bins wide and survive the smoothing unchanged)."""
-    s = np.convolve(spec, np.ones(5) / 5.0, mode="same")
-    pk = np.where((s[1:-1] > s[:-2]) & (s[1:-1] >= s[2:]) & (s[1:-1] > 0.05))[0] + 1
-    # merge peaks closer than 3 bins (shoulders)
-    if len(pk) > 1:
-        keep = [pk[0]]
-        for p in pk[1:]:
-            if p - keep[-1] >= 3:
-                keep.append(p)
-        pk = np.asarray(keep)
-    if len(pk) < 3:
-        return len(pk), np.nan
-    sp = np.diff(pk).astype(np.float64)
-    return len(pk), float(sp.std() / sp.mean())
-
+from rho_diffusion_tpu.metrics import peak_stats  # noqa: E402
 
 gen_stats = [peak_stats(g[:, 0]) for g in gen]
 real_stats = [peak_stats(r_[:, 0]) for r_ in real]

@@ -146,6 +146,21 @@ if os.environ.get("SQ_ROWS") == "unipc":
         run("dpm++", 15),
         run("ddim", 50),
     ]
+elif os.environ.get("SQ_ROWS") == "stochastic":
+    # round-5 RNG-lane A/B: the stochastic seam solvers vs their
+    # deterministic twins at equal NFE, plus the classic ancestral
+    # samplers they generalize (seam 'ancestral' == ddim eta=1 == the
+    # respaced 'ddpm' posterior; sde-dpm++ is the 2nd-order SDE sampler
+    # the reference could only reach through HF scheduler delegation)
+    rows = [
+        run("sde-dpm++", 10),
+        run("dpm++", 10),
+        run("sde-dpm++", 15),
+        run("dpm++", 15),
+        run("ancestral", 50),
+        run("ddim", 50),
+        run("ddpm", 1000),
+    ]
 elif os.environ.get("SQ_ROWS") == "karras":
     # focused A/B: Karras rho=7 grid vs the uniform-t default at equal cost
     rows = [

@@ -86,6 +86,7 @@ class DeepGalaxyDataset(MultiVariateDataset):
         dset_name_pattern: str = "s_*",
         camera_pos: Sequence[int] | int | str = (0,),
         t_lim: Optional[Sequence[int]] = None,
+        t_exclude: Optional[Sequence[float]] = None,
         transform: Optional[Callable] = None,
         target_transform: Optional[Callable] = None,
     ) -> None:
@@ -94,6 +95,7 @@ class DeepGalaxyDataset(MultiVariateDataset):
         self.dset_name_pattern = dset_name_pattern
         self.camera_pos = camera_pos
         self.t_lim = t_lim
+        self.t_exclude = t_exclude
         self.transform = transform or default_transform
         self.target_transform = target_transform
         self.attributes = ["s", "m", "t", "c"]
@@ -103,7 +105,7 @@ class DeepGalaxyDataset(MultiVariateDataset):
         self.num_classes = 0
         self.data: Optional[np.ndarray] = None
         self.labels: Optional[np.ndarray] = None
-        self._load_all(dset_name_pattern, camera_pos, t_lim)
+        self._load_all(dset_name_pattern, camera_pos, t_lim, t_exclude)
 
     def __len__(self) -> int:
         return 0 if self.data is None else self.data.shape[0]
@@ -126,7 +128,7 @@ class DeepGalaxyDataset(MultiVariateDataset):
         return image, np.asarray(label, dtype=np.float32)
 
     # -- loading (reference :165-281) -------------------------------------
-    def _load_all(self, dset_name_pattern, camera_pos, t_lim) -> None:
+    def _load_all(self, dset_name_pattern, camera_pos, t_lim, t_exclude=None) -> None:
         import h5py
 
         with h5py.File(self.h5fn, "r") as h5f:
@@ -158,6 +160,15 @@ class DeepGalaxyDataset(MultiVariateDataset):
                     if t_lim is not None:
                         lo, hi = np.min(t_lim), np.max(t_lim)
                         keep = (t_vals >= lo) & (t_vals <= hi)
+                        images, t_vals = images[keep], t_vals[keep]
+                        s_vals, m_vals, c_vals = s_vals[keep], m_vals[keep], c_vals[keep]
+                    if t_exclude is not None:
+                        # condition-holdout seam (round 5): drop exact time
+                        # values AFTER the per-stack max normalisation above,
+                        # so the retained frames are bit-identical to a full
+                        # load — held-out-condition generalization evals
+                        # (benchmarks/demo_generalization.py) rely on this
+                        keep = ~np.isin(t_vals, np.asarray(t_exclude))
                         images, t_vals = images[keep], t_vals[keep]
                         s_vals, m_vals, c_vals = s_vals[keep], m_vals[keep], c_vals[keep]
                     images_set.append(images)

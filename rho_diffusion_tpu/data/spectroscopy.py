@@ -30,6 +30,7 @@ class SpectroscopyDataset(UnivariateDataset):
         grid_size: int = 50_000,
         linewidth: Optional[Union[float, tuple]] = None,
         seed: int = 0,
+        indices: Optional[list] = None,
     ) -> None:
         self.h5_path = Path(h5_path)
         assert self.h5_path.exists(), f"Target HDF5 not found: {h5_path}"
@@ -39,6 +40,10 @@ class SpectroscopyDataset(UnivariateDataset):
         self._linewidth = linewidth
         self._rng = np.random.default_rng(seed)
         self._rng_lock = threading.Lock()
+        # molecule-subset view (round 5): train/holdout splits over the h5
+        # groups without rewriting the corpus — the held-out-condition
+        # generalization seam (benchmarks/demo_spectro_cond.py)
+        self.indices = list(indices) if indices is not None else None
 
     def sample_linewidth(self) -> float:
         """Fixed width, or |N(mu, sigma)| per sample
@@ -61,12 +66,37 @@ class SpectroscopyDataset(UnivariateDataset):
     def __len__(self) -> int:
         import h5py
 
+        if self.indices is not None:
+            return len(self.indices)
         with h5py.File(self.h5_path, "r") as f:
             return len(f)
+
+    @cached_property
+    def parameter_space(self):
+        """Physics-parameter space rebuilt from the corpus ``params`` rows
+        (B, T, D, n_lines) — enables the conditional path (cond_fn over raw
+        parameter rows; the loader already maps 'params' -> labels,
+        data/loader.py:37). The reference's SpectroscopyDataset exposed no
+        parameter space and trained unconditionally only."""
+        import h5py
+
+        from rho_diffusion_tpu.data.parameter_space import DiscreteParameterSpace
+
+        with h5py.File(self.h5_path, "r") as f:
+            rows = np.stack([np.asarray(g["params"]) for g in f.values()])
+        names = ["B", "T", "D", "n_lines"][: rows.shape[1]]
+        return DiscreteParameterSpace(
+            param_dict={
+                k: sorted(np.unique(rows[:, i]).tolist())
+                for i, k in enumerate(names)
+            },
+        )
 
     def __getitem__(self, index: int) -> dict:
         import h5py
 
+        if self.indices is not None:
+            index = self.indices[index]
         with h5py.File(self.h5_path, "r") as f:
             group = f[str(index)]
             data = {k: np.asarray(v, dtype=np.float32) for k, v in group.items()}

@@ -5,3 +5,4 @@ from rho_diffusion_tpu.metrics.losses import (  # noqa: F401
     resolve_loss,
 )
 from rho_diffusion_tpu.metrics.geom import WassersteinWrapper, sinkhorn_divergence  # noqa: F401
+from rho_diffusion_tpu.metrics.spectral import comb_metrics, peak_stats  # noqa: F401

@@ -47,7 +47,13 @@ class ViTBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        train: bool = False,
+        cond: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         act = resolve_activation(self.activation)
         t_emb = sinusoidal_position_embedding(t, self.time_dim)
         t_emb = nn.Dense(
@@ -55,6 +61,12 @@ class ViTBlock(nn.Module):
             param_dtype=jnp.float32, name="time_proj",
         )(t_emb)
         t_emb = act(t_emb)
+        if cond is not None:
+            # conditional extension (round 5): condition embedding rides the
+            # same per-block additive channel as time (the reference ViT is
+            # unconditional, vit.py:324-339; unconditional use is
+            # param-identical — this branch adds no modules when cond=None)
+            t_emb = t_emb + cond
         h = x + t_emb[:, None, :].astype(x.dtype)
 
         norm = nn.LayerNorm(dtype=jnp.float32, name="norm_1")(h).astype(x.dtype)
@@ -97,6 +109,14 @@ class VisionTransformer(nn.Module):
     dropout: float = 0.2
     num_heads: int = 16
     dtype: Any = jnp.float32
+    # conditional extension (round 5; the reference ViT is unconditional,
+    # vit.py:324-339): same seam as the UNet — num_classes flags the
+    # conditional path; y may be raw parameter rows (mapped through
+    # cond_fn) or precomputed embeddings (projected directly). When
+    # num_classes is None the model is param-identical to the reference
+    # parity version and y is ignored.
+    num_classes: Optional[int] = None
+    cond_fn: Optional[nn.Module] = None
 
     @nn.compact
     def __call__(
@@ -106,8 +126,23 @@ class VisionTransformer(nn.Module):
         y: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
-        del y  # the reference ViT is unconditional (vit.py:324-339)
         act = resolve_activation(self.activation)
+        cond = None
+        if self.num_classes is not None:
+            assert y is not None, "class-conditional ViT requires y"
+            raw = y if (y.ndim == 2 and self.cond_fn is None) else (
+                self.cond_fn(y) if self.cond_fn is not None
+                else nn.Embed(
+                    self.num_classes, self.embedding_dim,
+                    param_dtype=jnp.float32, name="class_embed",
+                )(y.astype(jnp.int32))
+            )
+            cond = nn.Dense(
+                self.embedding_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                name="cond_proj",
+            )(raw.astype(self.dtype))
+        else:
+            del y  # the reference ViT is unconditional (vit.py:324-339)
         dims = len(self.input_shapes)
         assert x.ndim == dims + 2, (
             f"expected [B, {'x'.join(map(str, self.input_shapes))}, C] input, "
@@ -148,7 +183,7 @@ class VisionTransformer(nn.Module):
                 time_dim=self.time_embedding_dim,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(h, t, train)
+            )(h, t, train, cond)
 
         # -- unpatchify: Dense -> grid -> transpose conv (reference :360-372)
         h = nn.Dense(

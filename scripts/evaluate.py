@@ -80,7 +80,7 @@ def main() -> None:
     report: dict = {"config": str(args.json_config), "checkpoint": str(ckpt)}
 
     losses, psnrs = [], []
-    real = None
+    real = real_labels = None
     for i, batch in enumerate(loader):
         if i >= args.num_batches:
             break
@@ -89,6 +89,7 @@ def main() -> None:
         psnrs.append(float(m["psnr"]))
         if real is None:
             real = batch["data"]
+            real_labels = batch.get("labels")
     if real is None:
         raise SystemExit(
             f"evaluate: the loader yielded no batches — the dataset "
@@ -116,10 +117,19 @@ def main() -> None:
     report["generated_finite"] = bool(np.isfinite(np.asarray(gen)).all())
 
     if args.bpd and hasattr(pipeline, "calc_bpd"):
+        k = min(4, n)
         out = pipeline.calc_bpd(
-            params, jax.numpy.asarray(real[: min(4, n)]), jax.random.PRNGKey(1),
+            params, jax.numpy.asarray(real[:k]), jax.random.PRNGKey(1),
+            # thread the real rows' own conditions through the VLB loop —
+            # a class-conditional model asserts on y=None (and scoring
+            # p(x|y) with the matched y is the meaningful density anyway)
+            conditions=(
+                jax.numpy.asarray(real_labels[:k])
+                if real_labels is not None else None
+            ),
         )
         report["total_bpd"] = float(np.mean(np.asarray(out["total_bpd"])))
+        report["prior_bpd"] = float(np.mean(np.asarray(out["prior_bpd"])))
 
     print(json.dumps(report, indent=2))
 

@@ -116,6 +116,29 @@ def test_deep_galaxy_multi_camera(galaxy_h5):
     assert ds.loaded_parameter_space["c"] == [0, 1]
 
 
+def test_deep_galaxy_t_exclude_holdout(galaxy_h5):
+    """Condition-holdout seam (round 5): t_exclude drops exact time values
+    AFTER per-stack normalisation, so retained frames are bit-identical to
+    a full load — the generalization benchmark's training/eval contract."""
+    full = DeepGalaxyDataset(
+        str(galaxy_h5), use_emb_as_labels=False, dset_name_pattern="s_0.5_*",
+        camera_pos=[0],
+    )
+    held = [310.0, 330.0]
+    ds = DeepGalaxyDataset(
+        str(galaxy_h5), use_emb_as_labels=False, dset_name_pattern="s_0.5_*",
+        camera_pos=[0], t_exclude=held,
+    )
+    assert len(ds) == len(full) - 2
+    assert not set(held) & set(ds.loaded_parameter_space["t"])
+    # retained frames bit-identical to the corresponding full-load frames
+    t_of = lambda d, i: float(d[i][1][2])
+    fmap = {t_of(full, i): full[i][0] for i in range(len(full))}
+    for i in range(len(ds)):
+        img, lab = ds[i]
+        np.testing.assert_array_equal(img, fmap[float(lab[2])])
+
+
 def test_deep_galaxy_hash_labels(galaxy_h5):
     ds = DeepGalaxyDataset(str(galaxy_h5), use_emb_as_labels=True,
                            dset_name_pattern="s_.*", camera_pos=[0])
