@@ -131,7 +131,8 @@ sample_wall = time.perf_counter() - t0
 per_mol_mse = np.mean((gen - real) ** 2, axis=(1, 2))
 train_mask = np.isin(np.arange(N_MOL), TRAIN_IDX)
 # nearest-TRAINED-spectrum distance: the replay-vs-interpolate discriminator
-d2_train = ((gen[:, None, :, 0] - real[None, train_mask, :, 0]) ** 2).mean(-1)
+real_trained = real[train_mask][:, :, 0]
+d2_train = ((gen[:, None, :, 0] - real_trained[None, :, :]) ** 2).mean(-1)
 nn_trained = d2_train.min(1)
 
 w = WassersteinWrapper()

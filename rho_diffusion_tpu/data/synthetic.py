@@ -30,7 +30,7 @@ import json
 import os
 import threading
 from pathlib import Path
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -105,6 +105,7 @@ class SphericalHarmonicDataset(MultiVariateDataset):
         use_emb_as_labels: bool = True,
         use_native: bool = False,
         cache_fields: bool = True,
+        exclude_pairs: Optional[Sequence] = None,
         **grid_kwargs,
     ) -> None:
         assert max_l and max_l > 0, f"invalid max_l: {max_l}"
@@ -151,6 +152,13 @@ class SphericalHarmonicDataset(MultiVariateDataset):
         self.cache_fields = cache_fields
         self._field_cache: dict[tuple[int, int], np.ndarray] = {}
         self._label_cache: dict[tuple[int, int], np.ndarray] = {}
+        # condition-holdout seam (round 5): (l, m) pairs never drawn during
+        # training — the compositional-generalization eval contract
+        # (benchmarks/sh_holdout.py). The parameter space is unchanged, so
+        # held-out pairs keep their embedding slots / feature coordinates.
+        self._exclude = {
+            (int(l), int(m)) for l, m in (exclude_pairs or ())  # noqa: E741
+        }
 
     # -- random quantum numbers (reference synthetic.py:244-254) ----------
     def random_set(self) -> tuple[int, int]:
@@ -159,9 +167,11 @@ class SphericalHarmonicDataset(MultiVariateDataset):
         parameter space is range(0, max_l) — samples could fall outside the
         declared space. We draw l from [0, max_l) to stay consistent."""
         with self._rng_lock:
-            l = int(self._rng.integers(0, self.max_l))  # noqa: E741
-            m = int(self._rng.integers(-l, l + 1))
-        return l, m
+            while True:
+                l = int(self._rng.integers(0, self.max_l))  # noqa: E741
+                m = int(self._rng.integers(-l, l + 1))
+                if (l, m) not in self._exclude:
+                    return l, m
 
     def __len__(self) -> int:
         if self.h5_path:

@@ -193,6 +193,30 @@ def test_spectroscopy_sample(spectro_h5):
     assert item["max_int"].shape == (1,)
 
 
+def test_spectroscopy_indices_subset_and_parameter_space(spectro_h5):
+    """Round-5 conditional/holdout seams: ``indices`` gives a subset view
+    over the h5 groups (train/holdout splits without corpus rewrites) and
+    ``parameter_space`` rebuilds the (B, T, D, n_lines) space from the FULL
+    corpus (held-out values keep their slots — the generalization eval
+    contract, benchmarks/demo_spectro_cond.py)."""
+    full = SpectroscopyDataset(spectro_h5, grid_size=512, linewidth=50.0)
+    sub = SpectroscopyDataset(
+        spectro_h5, grid_size=512, linewidth=50.0, indices=[0, 2],
+    )
+    assert len(full) == 3 and len(sub) == 2
+    np.testing.assert_array_equal(sub[1]["params"], full[2]["params"])
+    np.testing.assert_allclose(sub[1]["spectrum"], full[2]["spectrum"])
+    space = sub.parameter_space
+    assert list(space.keys()) == ["B", "T", "D", "n_lines"]
+    # the subset's space still spans the whole corpus
+    for i, k in enumerate(space.keys()):
+        assert len(space[k]) == 3
+        # __getitem__ rows are float32 casts of the stored values
+        assert min(
+            abs(v - float(full[1]["params"][i])) for v in space[k]
+        ) < 1e-6
+
+
 def test_spectroscopy_lineprofile_physics():
     grid = np.linspace(0, 100, 1001, dtype=np.float32)
     prof = SpectroscopyDataset.simulate_lineprofile(
