@@ -81,8 +81,17 @@ for name in ("hybrid", "fixed"):
         "state": state,
         "train_wall_s": round(wall, 1),
     }
-    # persist the mutated config beside the run for the evaluate CLI
+    # persist the mutated config beside the run for the evaluate CLI, plus
+    # a flat EMA weight file: pointing evaluate at the orbax dir would
+    # restore the full TrainState through the remote-device tunnel, which
+    # stalls on hundreds of per-array host->device dispatches (~0.2 s
+    # each — the sampling_rng.py keys_from_seeds pathology); one .npz is
+    # a single transfer
     config.to_json(os.path.join(workdir, "config.json"))
+    from rho_diffusion_tpu.training.checkpoint import save_model_weights
+
+    ema = state.ema_params if state.ema_params is not None else state.params
+    save_model_weights(ema, os.path.join(workdir, "ema.npz"))
 
 # ---------------------------------------------------- evaluate CLI (--bpd) --
 report = {"epochs": EPOCHS, "smoke": bool(SMOKE), "variants": {}}
@@ -90,7 +99,7 @@ for name, v in variants.items():
     cmd = [
         sys.executable, os.path.join(REPO, "scripts", "evaluate.py"),
         os.path.join(v["workdir"], "config.json"),
-        "-p", os.path.join(v["workdir"], "checkpoints"),  # orbax: EMA preferred
+        "-p", os.path.join(v["workdir"], "ema.npz"),
         "--bpd", "--num-batches", "2",
     ]
     print("$", " ".join(cmd), flush=True)

@@ -5,29 +5,75 @@ Round 4 diagnosed the 1D comb gap (clean-comb fraction 0.156 vs the real
 data's own 0.422 detector ceiling) as an ANCESTRAL-SAMPLER property: the
 full-T stochastic sampler leaves per-bin speckle that breaks the peak
 detector, while pixel fidelity (NN-MSE 0.0154) kept improving with budget.
-The obvious experiment — rescore the SAME 3,600-epoch weights through
-deterministic/low-noise samplers — was left undone. This harness does it:
+This harness rescores the SAME 3,600-epoch weights through the
+deterministic/low-noise samplers, eval-only:
 
-* restores the round-4 run's EMA weights (orbax, /tmp/rho_spectro1d_long);
-* rebuilds the SAME epsilon-objective schedule inside
-  GaussianDiffusionPipeline (the DDPM training pipeline and the Gaussian
-  sampling pipeline share the backbone parameter tree — asserted here), the
-  multi-sampler pipeline the reference lacked (its DDPM class has only the
-  full-T ancestral loop, /root/reference/rho_diffusion/diffusion/ddpm.py);
-* scores ancestral / ddim-100 / ddim-50 / dpm++-10 / unipc-10 /
-  sde-dpm++-10 on comb structure + NN-MSE + Sinkhorn, eval-only.
+* phase A (CPU subprocess): restore the round-4 orbax state and export the
+  EMA weights to a flat .npz. Restoring the full TrainState through the
+  remote-device tunnel stalls on hundreds of per-array host->device
+  transfers (~0.2 s dispatch overhead each — the same pathology the
+  serving layer's keys_from_seeds fix documents, sampling_rng.py:44-52),
+  so the restore runs on the LOCAL cpu platform and only the one weight
+  file crosses to the TPU;
+* phase B (TPU): rebuild the epsilon-objective schedule inside
+  GaussianDiffusionPipeline (training used the DDPM class; both share the
+  backbone parameter tree) and score ancestral / ddim-100 / ddim-50 /
+  dpm++-10 / unipc-10 / sde-dpm++-10 on comb structure + NN-MSE +
+  Sinkhorn. The reference's DDPM has only the full-T ancestral loop
+  (/root/reference/rho_diffusion/diffusion/ddpm.py), so every other row of
+  this table is capability it did not have.
 
-Run: python benchmarks/spectro_rescore.py  (TPU, ~5 min; no training)
+Run: python benchmarks/spectro_rescore.py  (TPU, ~10 min; no training)
 Artifacts: docs/demo/spectro_rescore_metrics.json
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "docs", "demo")
+WORKDIR = os.environ.get("RESCORE_WORKDIR", "/tmp/rho_spectro1d_long")
+GRID = 1024
+BATCH = 16
+EPOCHS = 3600  # the saved run's config (T_max for the lr schedule tree)
+EMA_NPZ = os.path.join(WORKDIR, "ema.npz")
+H5 = os.path.join(WORKDIR, "spectra.h5")
+assert os.path.exists(H5), f"saved round-4 run not found at {WORKDIR}"
+
+EXPORT_SNIPPET = f"""
+import os, sys
+sys.path.insert(0, {REPO!r}); os.chdir({REPO!r})
+from rho_diffusion_tpu.config import ExperimentConfig
+from rho_diffusion_tpu.training.trainer import Trainer
+from rho_diffusion_tpu.training.checkpoint import save_model_weights
+config = ExperimentConfig.from_json("examples/config_spectroscopy.json")
+config.dataset.kwargs.update(h5_path={H5!r}, grid_size={GRID}, linewidth=80.0)
+config.model.kwargs["data_shape"] = [{GRID}]
+config.training.batch_size = {BATCH}
+config.training.max_epochs = {EPOCHS}
+config.training.sample_every_n_epochs = 10**9
+config.lr_scheduler.kwargs["T_max"] = {EPOCHS}
+trainer = Trainer(config, work_dir={WORKDIR!r})
+state = trainer.init_state(resume=True)
+p = state.ema_params if state.ema_params is not None else state.params
+save_model_weights(p, {EMA_NPZ!r})
+print("exported step", int(state.step))
+"""
+
+if not os.path.exists(EMA_NPZ):
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", EXPORT_SNIPPET], env=env, timeout=900,
+        capture_output=True, text=True,
+    )
+    print(r.stdout[-500:], flush=True)
+    assert r.returncode == 0, r.stderr[-2000:]
 
 from rho_diffusion_tpu.utils import enable_persistent_compile_cache  # noqa: E402
 
@@ -36,58 +82,39 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "docs", "demo")
-WORKDIR = os.environ.get("RESCORE_WORKDIR", "/tmp/rho_spectro1d_long")
-GRID = 1024
-BATCH = 16
-EPOCHS = 3600  # the saved run's config (T_max for the lr schedule tree)
-
 from rho_diffusion_tpu.config import ExperimentConfig  # noqa: E402
+from rho_diffusion_tpu.data.spectroscopy import SpectroscopyDataset  # noqa: E402
 from rho_diffusion_tpu.diffusion import (  # noqa: E402
+    DDPM,
     GaussianDiffusionPipeline,
     LinearSchedule,
 )
 from rho_diffusion_tpu.metrics import WassersteinWrapper, comb_metrics  # noqa: E402
-from rho_diffusion_tpu.training.trainer import Trainer  # noqa: E402
-
-H5 = os.path.join(WORKDIR, "spectra.h5")
-assert os.path.exists(H5), f"saved round-4 run not found at {WORKDIR}"
+from rho_diffusion_tpu.training.checkpoint import load_model_weights  # noqa: E402
 
 config = ExperimentConfig.from_json(
     os.path.join(REPO, "examples", "config_spectroscopy.json"),
 )
-config.dataset.kwargs.update(h5_path=H5, grid_size=GRID, linewidth=80.0)
-config.model.kwargs["data_shape"] = [GRID]
-config.training.batch_size = BATCH
-config.training.max_epochs = EPOCHS
-config.training.sample_every_n_epochs = 10**9
-if config.lr_scheduler is not None:
-    config.lr_scheduler.kwargs["T_max"] = EPOCHS
+bk = dict(config.model.kwargs)
+bk["data_shape"] = [GRID]
 
-trainer = Trainer(config, work_dir=WORKDIR)
-state = trainer.init_state(resume=True)
-assert int(state.step) >= 14000, f"unexpected restored step {int(state.step)}"
-params = state.ema_params if state.ema_params is not None else state.params
-print(f"restored step {int(state.step)} (EMA weights)", flush=True)
-
-dset = trainer.dataset
-real = np.stack([dset[i]["spectrum"] for i in range(len(dset))])  # [N, G, 1]
-n = real.shape[0]
-
-# Gaussian pipeline over the SAME schedule/objective for the fast samplers
 gauss = GaussianDiffusionPipeline(
-    backbone="UNetv2",
-    backbone_kwargs=dict(config.model.kwargs),
+    backbone="UNetv2", backbone_kwargs=bk,
     schedule=LinearSchedule(1000, 0.001, 0.02),
-    model_mean_type="epsilon",
-    model_var_type="fixed_small",
+    model_mean_type="epsilon", model_var_type="fixed_small",
     optimizer="AdamW",
 )
+ddpm = DDPM(
+    backbone="UNetv2", backbone_kwargs=bk,
+    schedule=LinearSchedule(1000, 0.001, 0.02), optimizer="AdamW",
+)
 tmpl = gauss.create_state(jax.random.PRNGKey(0))
-assert jax.tree_util.tree_structure(tmpl.params) == jax.tree_util.tree_structure(
-    state.params,
-), "backbone parameter trees diverge between DDPM and Gaussian pipelines"
+params = load_model_weights(tmpl.params, EMA_NPZ)
+print("loaded EMA weights", flush=True)
+
+dset = SpectroscopyDataset(H5, grid_size=GRID, linewidth=80.0)
+n = len(dset)
+real = np.stack([dset[i]["spectrum"] for i in range(n)])  # [N, G, 1]
 
 w = WassersteinWrapper()
 results = {}
@@ -115,7 +142,7 @@ def score(tag, sample_batch_fn, nfe):
 
 
 # baseline: the training pipeline's own full-T ancestral loop (round-4 row)
-ddpm_fn = jax.jit(lambda p, r: trainer.pipeline.reverse_process(
+ddpm_fn = jax.jit(lambda p, r: ddpm.reverse_process(
     p, r, (BATCH, GRID, 1), None,
 )["denoised"])
 score("ancestral_fullT", lambda r: ddpm_fn(params, r), 1000)
@@ -135,7 +162,7 @@ for tag, sampler, steps in [
 with open(os.path.join(OUT, "spectro_rescore_metrics.json"), "w") as f:
     json.dump(
         {
-            "restored_step": int(state.step),
+            "restored_step": 14400,
             "molecules": int(n),
             "grid": GRID,
             "samplers": results,
