@@ -71,6 +71,20 @@ for i, b in enumerate(prefetch_to_device(iter(loader))):
 print(f"trained {STEPS} steps in {time.perf_counter() - t0:.0f}s "
       f"(final loss {float(metrics['train_loss']):.4f})", flush=True)
 
+# divergence diagnostic: with the reference's warmup decay the shadow at
+# step 3000 is a ~4.5-step trailing average (decay_eff = 0.9999 *
+# -expm1(-step/2000) = 0.78), so |ema - raw| should be SMALL; a large
+# sampling-quality gap with a small parameter gap would implicate
+# trajectory chaos, not the EMA mechanism
+rel = [
+    float(jnp.linalg.norm(e - p) / (jnp.linalg.norm(p) + 1e-9))
+    for e, p in zip(
+        jax.tree_util.tree_leaves(state.ema_params),
+        jax.tree_util.tree_leaves(state.params),
+    )
+]
+print(f"mean rel |ema-raw| {np.mean(rel):.5f}  max {np.max(rel):.5f}", flush=True)
+
 sampler_pipe = GaussianDiffusionPipeline(
     backbone="UNetv2", backbone_kwargs=backbone_kwargs,
     schedule=LinearSchedule(1000), model_mean_type="epsilon",
@@ -94,12 +108,20 @@ for tag, params in (("raw", state.params), ("ema", state.ema_params)):
         fn = jax.jit(lambda p, r, c, _s=sampler, _n=nfe: sampler_pipe.reverse_process(
             p, r, (BATCH, *real.shape[1:]), c, sampler=_s, num_steps=_n,
         ))
-        gen = np.asarray(fn(params, jax.random.PRNGKey(5), conds), np.float32)
-        rows[f"{sampler}_{nfe}"] = {
-            "matched_mse": float(np.mean((gen - real) ** 2)),
-            "sinkhorn": float(np.mean(np.asarray(
+        # 3 seeds per row: trajectory chaos decorrelates samples between
+        # slightly-different parameter sets, so single-draw comparisons
+        # confound seed variance with the EMA effect
+        mses, sinks = [], []
+        for seed in (5, 6, 7):
+            gen = np.asarray(fn(params, jax.random.PRNGKey(seed), conds), np.float32)
+            mses.append(float(np.mean((gen - real) ** 2)))
+            sinks.append(float(np.mean(np.asarray(
                 w(jnp.asarray(gen), jnp.asarray(real)),
-            ))),
+            ))))
+        rows[f"{sampler}_{nfe}"] = {
+            "matched_mse": float(np.mean(mses)),
+            "matched_mse_per_seed": [round(m, 4) for m in mses],
+            "sinkhorn": float(np.mean(sinks)),
         }
         print(f"  {tag} {sampler}-{nfe}: {rows[f'{sampler}_{nfe}']}", flush=True)
     report["rows"][tag] = rows
