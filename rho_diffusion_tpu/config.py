@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Optional, Union
+from typing import Any, Literal, Optional, Union
 
 from pydantic import BaseModel, ConfigDict, field_validator
 
@@ -119,6 +119,13 @@ class TrainingConfig(BaseModel):
     # ("stdout" | "jsonl" | "csv" | "mlflow"); the default reproduces the
     # stdout + metrics.jsonl behaviour.
     loggers: list[Any] = ["stdout", "jsonl"]
+    # Which parameter set epoch-end sampling/validation draws from. The
+    # round-5 ablation (RESULTS.md, benchmarks/ema_ablation.py) measured
+    # the EMA benefit as BUDGET-DEPENDENT: at ~3k-step budgets raw params
+    # beat EMA-0.9999 ~3x on matched MSE (the shadow lags a fast descent),
+    # while at the 9k-step flagship budget EMA wins 15-18%. "ema" (default,
+    # falls back to raw when ema_decay == 0) | "raw".
+    sample_params: Literal["ema", "raw"] = "ema"
 
 
 class InferenceConfig(BaseModel):

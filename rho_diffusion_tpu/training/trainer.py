@@ -346,7 +346,15 @@ class Trainer:
         every = self.config.training.sample_every_n_epochs
         if not every or (epoch + 1) % every:
             return
-        params = state.ema_params if state.ema_params is not None else state.params
+        # training.sample_params picks the parameter set: "ema" (default;
+        # falls back to raw when EMA is off) or "raw" — the round-5
+        # ablation showed the EMA benefit is budget-dependent (RESULTS.md)
+        params = (
+            state.ema_params
+            if state.ema_params is not None
+            and self.config.training.sample_params != "raw"
+            else state.params
+        )
         space = getattr(self.dataset, "parameter_space", None)
         use_hash = bool(getattr(self.dataset, "use_emb_as_labels", False))
         samples = self.pipeline.generate(
